@@ -1,0 +1,185 @@
+package graft.html
+
+import graft.text.TextOps
+import scala.collection.mutable.ArrayBuffer
+
+/** Lightweight array-backed DOM in pre-order (document order).
+  *
+  * Node `i`'s subtree is the index range `(i, end(i))` — this makes
+  * "all descendants", "everything after this node in document order"
+  * (BeautifulSoup `find_all_next`) and bounded forward scans all cheap
+  * integer range scans, which is what the reference's section/span
+  * segmentation is built from (base_parser.py:85-241).
+  *
+  * Stray end tags are ignored; unclosed elements are closed at EOF;
+  * void elements (br, img, hr, …) never take children. The fixture
+  * corpus stays within the well-formed subset both this and Python's
+  * html.parser agree on (SURVEY.md §7.4).
+  */
+final class TagTree private (
+    val kind: Array[Byte],          // 0=elem 1=text 2=comment
+    val name: Array[String],        // lowercased, null for non-elements
+    val attrNames: Array[Array[String]],
+    val attrValues: Array[Array[String]],
+    val text: Array[String],        // text/comment payload
+    val parent: Array[Int],
+    val end: Array[Int]) {          // exclusive end of subtree span
+
+  def size: Int = kind.length
+
+  @inline def isElem(i: Int): Boolean = kind(i) == TagTree.KElem
+  @inline def isText(i: Int): Boolean = kind(i) == TagTree.KText
+  @inline def isComment(i: Int): Boolean = kind(i) == TagTree.KComment
+
+  def attr(i: Int, a: String): String = {
+    val ns = attrNames(i)
+    if (ns == null) return null
+    var k = 0
+    while (k < ns.length) {
+      if (ns(k) == a) return attrValues(i)(k)
+      k += 1
+    }
+    null
+  }
+
+  def hasClass(i: Int, c: String): Boolean = {
+    val v = attr(i, "class")
+    v != null && v.split("\\s+").contains(c)
+  }
+
+  /** First descendant of `i` (or any node if i==0) matching. */
+  def findFirst(from: Int, until: Int)(pred: Int => Boolean): Int = {
+    var k = from
+    while (k < until) {
+      if (pred(k)) return k
+      k += 1
+    }
+    -1
+  }
+
+  def findElem(from: Int, until: Int, nm: String): Int =
+    findFirst(from, until)(k => isElem(k) && name(k) == nm)
+
+  /** All indices in [from, until) matching pred, document order. */
+  def findAll(from: Int, until: Int)(pred: Int => Boolean): IndexedSeq[Int] = {
+    val out = ArrayBuffer.empty[Int]
+    var k = from
+    while (k < until) {
+      if (pred(k)) out += k
+      k += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** Descendant scan range of node i (excludes i itself). */
+  @inline def subtree(i: Int): (Int, Int) = (i + 1, end(i))
+
+  /** Nearest ancestor with the given element name, or -1. */
+  def ancestor(i: Int, nm: String): Int = {
+    var p = parent(i)
+    while (p >= 0) {
+      if (isElem(p) && name(p) == nm) return p
+      p = parent(p)
+    }
+    -1
+  }
+
+  /** True if `anc` is a (possibly transitive) ancestor of `i`. */
+  @inline def isAncestor(anc: Int, i: Int): Boolean = i > anc && i < end(anc)
+
+  /** BeautifulSoup `get_text(strip=True)` parity: per-text-node Python
+    * strip, empties dropped, concatenated with NO separator (F11).
+    */
+  def textStrip(i: Int): String = {
+    if (isText(i)) return TextOps.stripPy(text(i))
+    val sb = new java.lang.StringBuilder()
+    var k = i + 1
+    val e = end(i)
+    while (k < e) {
+      if (isText(k)) {
+        val t = TextOps.stripPy(text(k))
+        if (t.nonEmpty) sb.append(t)
+      }
+      k += 1
+    }
+    sb.toString
+  }
+
+  /** Raw concatenated text (no strip), BS `get_text()` parity. */
+  def textRaw(i: Int): String = {
+    if (isText(i)) return text(i)
+    val sb = new java.lang.StringBuilder()
+    var k = i + 1
+    val e = end(i)
+    while (k < e) {
+      if (isText(k)) sb.append(text(k))
+      k += 1
+    }
+    sb.toString
+  }
+}
+
+object TagTree {
+  final val KElem: Byte = 0
+  final val KText: Byte = 1
+  final val KComment: Byte = 2
+
+  private val voidElems = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "param", "source", "track", "wbr")
+
+  def parse(html: String): TagTree = {
+    val kinds = ArrayBuffer.empty[Byte]
+    val names = ArrayBuffer.empty[String]
+    val ans = ArrayBuffer.empty[Array[String]]
+    val avs = ArrayBuffer.empty[Array[String]]
+    val texts = ArrayBuffer.empty[String]
+    val parents = ArrayBuffer.empty[Int]
+    val ends = ArrayBuffer.empty[Int]
+    val stack = new java.util.ArrayDeque[Integer]() // open element indices
+
+    def curParent: Int = if (stack.isEmpty) -1 else stack.peek()
+
+    val sink = new HtmlTokenizer.Sink {
+      def startTag(nm: String, attrs: List[(String, String)], selfClosing: Boolean): Unit = {
+        val idx = kinds.length
+        kinds += KElem
+        names += nm
+        if (attrs.isEmpty) { ans += null; avs += null }
+        else { ans += attrs.map(_._1).toArray; avs += attrs.map(_._2).toArray }
+        texts += null
+        parents += curParent
+        ends += -1
+        if (!selfClosing && !voidElems.contains(nm)) stack.push(idx)
+        else ends(idx) = idx + 1
+      }
+      def endTag(nm: String): Unit = {
+        // close matching open element if present anywhere on the stack
+        val it = stack.iterator()
+        var found = false
+        while (it.hasNext && !found) { if (names(it.next()) == nm) found = true }
+        if (found) {
+          var done = false
+          while (!done && !stack.isEmpty) {
+            val top = stack.pop()
+            ends(top) = kinds.length
+            if (names(top) == nm) done = true
+          }
+        } // else stray end tag: ignore (html.parser behavior)
+      }
+      def text(t: String): Unit = {
+        val idx = kinds.length
+        kinds += KText; names += null; ans += null; avs += null
+        texts += t; parents += curParent; ends += idx + 1
+      }
+      def comment(t: String): Unit = {
+        val idx = kinds.length
+        kinds += KComment; names += null; ans += null; avs += null
+        texts += t; parents += curParent; ends += idx + 1
+      }
+    }
+    HtmlTokenizer.tokenize(html, sink)
+    while (!stack.isEmpty) ends(stack.pop()) = kinds.length
+    new TagTree(kinds.toArray, names.toArray, ans.toArray, avs.toArray,
+      texts.toArray, parents.toArray, ends.toArray)
+  }
+}

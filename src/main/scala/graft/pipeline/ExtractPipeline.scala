@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import graft.extract.MainContent
+import graft.text.TextOps
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+/** The core extraction job: `Dataset[PageRow] → Dataset[ExtractedDoc]`.
+  *
+  * One narrow `mapPartitions` pass — no shuffle in the hot path. Skew
+  * (heavy-tailed page sizes, north rule) is handled explicitly and
+  * BEFORE the map: a salted repartition on `hash(url)` spreads rows
+  * uniformly, and giant pages (html length above `giantThreshold`) are
+  * routed to their own partitions so one 100 MB page doesn't straggle
+  * a partition of small ones. AQE only fixes join/shuffle skew, not
+  * map-side compute skew, hence the explicit routing (SURVEY.md §4).
+  */
+object ExtractPipeline {
+
+  /** Decode rule per corpus (SURVEY.md §1.2: the reference's ladder is
+    * Latin-1 in practice; generic web corpora are UTF-8).
+    */
+  def decode(bytes: Array[Byte], charset: String): String = charset match {
+    case "latin-1" => TextOps.decodeLatin1(bytes)
+    case _         => TextOps.decodeUtf8Replace(bytes)
+  }
+
+  def extractOne(p: PageRow, charset: String): ExtractedDoc = {
+    try {
+      val html = decode(p.html, charset)
+      val (text, st) = MainContent.extractWithStats(html)
+      ExtractedDoc(p.url, p.warc_ts, text, p.lang, st.blocks, st.contentBlocks,
+        p.html.length.toLong, text.length.toLong, parse_ok = true)
+    } catch {
+      case _: Exception =>
+        ExtractedDoc(p.url, p.warc_ts, "", p.lang, 0, 0,
+          if (p.html == null) 0L else p.html.length.toLong, 0L, parse_ok = false)
+    }
+  }
+
+  /** Salt + size-aware routing: small pages spread by hash(url) over
+    * `numPartitions`; giant pages round-robin over a dedicated tail of
+    * partitions. Implemented as a single integer routing column so it
+    * is ONE shuffle (and none at all if `numPartitions <= 0`).
+    */
+  def routeForSkew(pages: Dataset[PageRow], numPartitions: Int,
+                   giantThreshold: Int = 1 << 20): Dataset[PageRow] = {
+    if (numPartitions <= 0) pages
+    else {
+      import pages.sparkSession.implicits._
+      val giantSlots = math.max(1, numPartitions / 8)
+      val smallSlots = numPartitions - giantSlots
+      val routed = pages
+        .withColumn("__route",
+          when(length(col("html")) >= giantThreshold,
+            lit(smallSlots) + pmod(hash(col("url")), lit(giantSlots)))
+            .otherwise(pmod(hash(col("url")), lit(smallSlots))))
+        .repartition(numPartitions, col("__route"))
+        .drop("__route")
+      routed.as[PageRow]
+    }
+  }
+
+  /** Full pass with per-partition lineage metrics pushed to an
+    * accumulator (visible on the driver after the action completes).
+    */
+  def run(pages: Dataset[PageRow], charset: String = "utf-8",
+          numPartitions: Int = 0,
+          lineageAcc: Option[CollectionAccumulator[PartitionLineage]] = None)
+      : Dataset[ExtractedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val routed = routeForSkew(pages, numPartitions)
+    routed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val t0 = System.nanoTime()
+      var docs = 0L; var fails = 0L; var inBytes = 0L; var outChars = 0L
+      val out = it.map { p =>
+        val d = extractOne(p, charset)
+        docs += 1
+        if (!d.parse_ok) fails += 1
+        inBytes += d.html_bytes
+        outChars += d.text_chars
+        d
+      }
+      new Iterator[ExtractedDoc] {
+        private var reported = false
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !reported) {
+            reported = true
+            lineageAcc.foreach(_.add(PartitionLineage(pid, docs, fails,
+              inBytes, outChars, inBytes - outChars, System.nanoTime() - t0)))
+          }
+          h
+        }
+        def next(): ExtractedDoc = out.next()
+      }
+    }
+  }
+}

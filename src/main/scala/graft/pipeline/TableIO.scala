@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Iceberg-shaped table facade over Parquet + a JSON checkpoint
+  * manifest, giving snapshot/resume semantics in this sandbox (no
+  * Iceberg jars on the classpath — SURVEY.md §7.1.8). The interface is
+  * what the production job would call against Iceberg
+  * (`readTable` / `appendSnapshot` / `committedKeys`), so the swap is a
+  * catalog config change, not a rewrite.
+  *
+  * Resume contract (north rule "resumable from snapshot + checkpoint
+  * manifests"): each commit appends a snapshot directory
+  * `snap-<k>/part-*.parquet` plus a line in `manifest.json` recording
+  * the snapshot id and row count. Pending work = input anti-joined on
+  * the committed key column, so a re-run after a partial failure
+  * processes only missing rows and converges to the identical table.
+  */
+final class TableIO(root: String) {
+  import TableIO.Snapshot
+  private val manifestPath = Paths.get(root, "manifest.json")
+
+  def snapshots(): Seq[Snapshot] = {
+    if (!Files.exists(manifestPath)) return Nil
+    Files.readAllLines(manifestPath, StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).map { line =>
+        // fixed field order written by commit(); no general JSON parse needed
+        val id = """"id":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+        val dir = """"dir":"([^"]+)"""".r.findFirstMatchIn(line).get.group(1)
+        val rows = """"rows":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+        Snapshot(id, dir, rows)
+      }
+  }
+
+  /** All committed data across snapshots (empty DataFrame with the
+    * given schema if nothing committed yet).
+    */
+  def readTable(spark: SparkSession): Option[DataFrame] = {
+    val snaps = snapshots()
+    if (snaps.isEmpty) None
+    else Some(spark.read.parquet(snaps.map(s => s"$root/${s.dir}"): _*))
+  }
+
+  /** Append `df` as a new snapshot; manifest write is atomic (tmp +
+    * move) so a crash mid-commit leaves the previous snapshot intact.
+    */
+  def appendSnapshot(df: DataFrame): Snapshot = {
+    Files.createDirectories(Paths.get(root))
+    val prev = snapshots()
+    val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
+    val dir = s"snap-$id"
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dir")
+    val rows = df.sparkSession.read.parquet(s"$root/$dir").count()
+    val line = s"""{"id":$id,"dir":"$dir","rows":$rows}"""
+    val all = (prev.map(s => s"""{"id":${s.id},"dir":"${s.dir}","rows":${s.rows}}""") :+ line)
+      .mkString("", "\n", "\n")
+    val tmp = Paths.get(root, ".manifest.tmp")
+    Files.write(tmp, all.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    Snapshot(id, dir, rows)
+  }
+
+  /** Input rows not yet present in the committed table, by key column.
+    * Broadcast-anti-join when the committed key set is small; plain
+    * shuffled anti-join otherwise (Spark/AQE decides from stats).
+    */
+  def pending(input: DataFrame, keyCol: String): DataFrame =
+    readTable(input.sparkSession) match {
+      case None => input
+      case Some(committed) =>
+        input.join(committed.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    }
+}
+
+object TableIO {
+  final case class Snapshot(id: Long, dir: String, rows: Long)
+
+  /** Resumable run: extract + commit only pages whose url is not yet in
+    * the output table. Returns the number of newly committed rows.
+    */
+  def resumeExtract(io: TableIO, pages: Dataset[PageRow], charset: String = "utf-8",
+                    numPartitions: Int = 0): Long = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val todo = io.pending(pages.toDF(), "url").as[PageRow]
+    val extracted = ExtractPipeline.run(todo, charset, numPartitions)
+    val snap = io.appendSnapshot(extracted.toDF())
+    snap.rows
+  }
+}
