@@ -1,13 +1,322 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — queries + DuckDB oracle SQL (see SURVEY.md §7).
+  *
+  * Every query is a Spark DataFrame program (broadcast joins, window
+  * ranks, higher-order array functions — no UDFs in any hot path); the
+  * oracle re-states the same semantics in portable SQL. All hash/ID
+  * derivations are md5-based so both engines compute identical values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: byte-identity extraction roundtrip on sf0.001 — wrap
+    * every document in boilerplate HTML, run the full tokenize →
+    * tag-tree → block-classification pipeline, return per-doc text.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ExtractOps.roundtrip(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction core (north star) ----
+    "q_extract_roundtrip" -> ((s, d) => ExtractOps.roundtrip(s, d)),
+    "q_web_pipeline" -> ((s, _) => ExtractOps.webCorpus(s, 300, 32)),
+    // ---- reference relational operators (SURVEY.md §2) ----
+    "q1_agg" -> ((s, d) => RelationalOps.q1Agg(s, d)),
+    "q_join_agg" -> ((s, d) => RelationalOps.joinAgg(s, d)),
+    "q_summary_counts" -> ((s, d) => RelationalOps.summaryCounts(s, d)),
+    "q_dup_id_check" -> ((s, d) => RelationalOps.duplicateIdCheck(s, d)),
+    "q_filter_ci" -> ((s, d) => RelationalOps.filterCi(s, d)),
+    "q_regex_extract" -> ((s, d) => RelationalOps.regexExtract(s, d)),
+    "q_href_split" -> ((s, d) => RelationalOps.hrefSplit(s, d)),
+    "q_md5_form_id" -> ((s, d) => RelationalOps.md5FormId(s, d)),
+    "q_lookup_cascade" -> ((s, d) => RelationalOps.lookupCascade(s, d)),
+    "q_dedup_first" -> ((s, d) => RelationalOps.dedupFirstWins(s, d)),
+    "q_fuzzy_match" -> ((s, d) => RelationalOps.fuzzyBestMatch(s, d)),
+    // ---- training-data pipeline: dedup family ----
+    "q_dedup_exact" -> ((s, d) => DedupOps.exact(s, d)),
+    "q_minhash_sig" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
+    "q_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
+    "q_simhash" -> ((s, d) => DedupOps.simhash(s, d)),
+    "q_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardDups(s, d, 0.8)),
+    // ---- similarity search ----
+    "q_cosine_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
+    "q_ann_lsh" -> ((s, d) => SimilarityOps.lshBucketedNeighbors(s, d)),
+    // ---- text analysis ----
+    "q_langid" -> ((s, d) => TextAnalysisOps.langId(s, d)),
+    "q_quality" -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
+    "q_token_count" -> ((s, d) => TextAnalysisOps.tokenCount(s, d)),
+    "q_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_extract_roundtrip" ->
+      "SELECT doc_id, text FROM documents",
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1, 2""",
+
+    "q_join_agg" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+
+    "q_summary_counts" ->
+      """SELECT
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_orders_ref,
+         (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_parts_ref,
+         (SELECT count(*) FROM lineitem) AS n_lineitems,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS n_customers_ref,
+         (SELECT count(*) FROM customer) AS n_customers,
+         (SELECT count(*) FROM part) AS n_parts""",
+
+    "q_dup_id_check" ->
+      "SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1 HAVING count(*) > 1",
+
+    "q_filter_ci" ->
+      "SELECT p_partkey, p_name FROM part WHERE contains(lower(p_name), 'al')",
+
+    "q_regex_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events""",
+
+    "q_href_split" ->
+      """SELECT doc_id,
+         string_split(source || '.html#' || upper(md5(text)), '#')[1] AS file,
+         string_split(source || '.html#' || upper(md5(text)), '#')[2] AS anchor
+         FROM documents""",
+
+    "q_md5_form_id" ->
+      """SELECT doc_id, upper(md5(source || '_' || CAST(doc_id AS VARCHAR))) AS form_id
+         FROM documents""",
+
+    "q_lookup_cascade" ->
+      """SELECT e.event_id,
+         coalesce(c.c_name, s.s_name, 'unresolved') AS resolved_name,
+         CASE WHEN c.c_name IS NOT NULL THEN 'customer'
+              WHEN s.s_name IS NOT NULL THEN 'supplier'
+              ELSE 'none' END AS match_source
+         FROM events e
+         LEFT JOIN customer c ON e.user_id = c.c_custkey
+         LEFT JOIN supplier s ON e.user_id = s.s_suppkey""",
+
+    "q_dedup_first" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS rn
+           FROM orders) WHERE rn = 1""",
+
+    "q_fuzzy_match" ->
+      """WITH probes AS (SELECT DISTINCT string_split(lower(p_name), ' ')[1] AS probe FROM part),
+         cands AS (SELECT DISTINCT lower(p_name) AS cand FROM part),
+         scored AS (
+           SELECT probe, cand,
+                  CASE WHEN contains(cand, probe)
+                       THEN CAST(length(probe) AS DOUBLE) / length(cand) +
+                            CASE WHEN starts_with(cand, probe) THEN 0.5 ELSE 0.0 END
+                       ELSE 0.0 END AS score
+           FROM probes CROSS JOIN cands)
+         SELECT probe, cand, round(score, 4) AS score FROM (
+           SELECT probe, cand, score,
+                  row_number() OVER (PARTITION BY probe
+                                     ORDER BY score DESC, cand) AS rn
+           FROM scored WHERE score >= 0.2) WHERE rn = 1""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+
+    "q_minhash_sig" -> minhashSigOracle,
+    "q_minhash_lsh" -> minhashLshOracle,
+
+    "q_simhash" -> simhashOracle,
+
+    "q_ngram_jaccard" -> ngramJaccardOracle,
+
+    "q_cosine_topk" -> cosineTopkOracle,
+    "q_ann_lsh" -> annLshOracle,
+
+    "q_langid" -> langidOracle,
+
+    "q_quality" ->
+      """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_word_len,
+         round(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3
+             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5
+             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4
+             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', ''))) / 4
+             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' in ', ''))) / 4
+           AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+         round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+         (len(string_split(text, ' ')) >= 10
+          AND round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) >= 2.5
+          AND round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) <= 12.0) AS quality_ok
+         FROM documents""",
+
+    "q_token_count" ->
+      """SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS re_tokens
+         FROM documents""",
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+         FROM documents""",
+  )
+
+  // ---- long composed oracles ----
+
+  private val shinglesCte =
+    """sh AS (
+         SELECT doc_id,
+                CASE WHEN len(string_split(text, ' ')) >= 3
+                     THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                            i -> string_split(text, ' ')[i] || ' ' ||
+                                 string_split(text, ' ')[i+1] || ' ' ||
+                                 string_split(text, ' ')[i+2])
+                     ELSE [text] END AS shingles
+         FROM documents)"""
+
+  private def sigCte: String = {
+    val cols = (0 until DedupOps.NumHashes).map { k =>
+      s"list_min(list_transform(shingles, s -> substr(md5('$k:' || s), 1, 16))) AS mh$k"
+    }.mkString(",\n                ")
+    s"""sig AS (
+         SELECT doc_id,
+                $cols
+         FROM sh)"""
+  }
+
+  private val minhashSigOracle: String =
+    s"""WITH $shinglesCte,
+       $sigCte
+       SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig"""
+
+  private val minhashLshOracle: String =
+    s"""WITH $shinglesCte,
+       $sigCte,
+       bands AS (
+         SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+         UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+         UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+         UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig)
+       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       FROM bands l JOIN bands r USING (band, band_key)
+       WHERE l.doc_id < r.doc_id"""
+
+  private val simhashOracle: String = {
+    val votes = (0 until 16).map { i =>
+      s"sum(CASE WHEN substr(h, ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(", ")
+    val bits = (0 until 16).map(i => s"CASE WHEN v$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH toks AS (
+         SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+       votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
+       SELECT doc_id, $bits AS simhash FROM votes"""
+  }
+
+  private val ngramJaccardOracle: String =
+    s"""WITH $shinglesCte,
+       $sigCte,
+       bands AS (
+         SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+         UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+         UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+         UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+       pairs AS (
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r USING (band, band_key)
+         WHERE l.doc_id < r.doc_id),
+       sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+       SELECT a, b,
+              round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                    len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+       FROM pairs
+       JOIN sets sa ON pairs.a = sa.doc_id
+       JOIN sets sb ON pairs.b = sb.doc_id
+       WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                   len(list_distinct(list_concat(sa.s, sb.s))), 4) >= 0.8"""
+
+  private val dotSql: String =
+    "list_sum(list_transform(generate_series(1, 64), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"
+
+  private val cosineTopkOracle: String = {
+    val dotQC = dotSql.format("qvec", "cvec")
+    val dotQQ = dotSql.format("qvec", "qvec")
+    val dotCC = dotSql.format("cvec", "cvec")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+       c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+       scored AS (
+         SELECT query_id, neighbor_id,
+                round($dotQC / (sqrt($dotQQ) * sqrt($dotCC)), 6) AS cos
+         FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+       SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rn FROM (
+         SELECT query_id, neighbor_id, cos,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+         FROM scored) WHERE rn <= 5"""
+  }
+
+  private val annLshOracle: String = {
+    val dotAB = dotSql.format("va", "vb")
+    val dotAA = dotSql.format("va", "va")
+    val dotBB = dotSql.format("vb", "vb")
+    s"""WITH planes AS (
+         SELECT p,
+                list_transform(generate_series(0, 63),
+                  j -> CASE WHEN substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)),
+                                        (j % 16) + 1, 1) >= '8'
+                            THEN 1.0 ELSE -1.0 END) AS w
+         FROM generate_series(0, 7) t1(p)),
+       proj AS (
+         SELECT e.vec_id, pl.p,
+                list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) AS dp
+         FROM embeddings e CROSS JOIN planes pl),
+       buckets AS (
+         SELECT vec_id,
+                string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         FROM proj GROUP BY vec_id),
+       be AS (
+         SELECT b.vec_id, b.bucket, e.embedding
+         FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id)
+       SELECT l.vec_id AS a, r.vec_id AS b,
+              round($dotAB / (sqrt($dotAA) * sqrt($dotBB)), 6) AS cos
+       FROM (SELECT vec_id, bucket, embedding AS va FROM be) l
+       JOIN (SELECT vec_id, bucket, embedding AS vb FROM be) r USING (bucket)
+       WHERE l.vec_id < r.vec_id
+         AND round($dotAB / (sqrt($dotAA) * sqrt($dotBB)), 6) >= 0.2"""
+  }
+
+  private val langidOracle: String = {
+    def sc(ws: Seq[String]): String = ws.map { w =>
+      s"(length(p) - length(replace(p, '$w', ''))) / ${w.length}"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+    val en = sc(Seq(" the ", " and ", " of ", " is ", " a "))
+    val pt = sc(Seq(" de ", " que ", " do ", " da ", " em "))
+    val es = sc(Seq(" el ", " la ", " los ", " en ", " y "))
+    s"""SELECT doc_id, en_score, pt_score, es_score,
+              CASE WHEN en_score >= pt_score AND en_score >= es_score THEN 'en'
+                   WHEN pt_score >= es_score THEN 'pt'
+                   ELSE 'es' END AS predicted_lang
+       FROM (
+         SELECT doc_id, $en AS en_score, $pt AS pt_score, $es AS es_score
+         FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents))"""
+  }
 }

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora:
+  *
+  *  - exact: hash-groupBy on a content digest (one shuffle, map-side
+  *    partial agg);
+  *  - MinHash + LSH: shingle → k minhashes → band keys → bucket join —
+  *    candidate generation is linear in corpus size, never all-pairs;
+  *  - SimHash: per-token hash bit-votes → compact signature;
+  *  - n-gram Jaccard: exact verification on LSH candidate pairs only.
+  *
+  * Hashes are derived from md5 hex substrings (lexicographic min of
+  * fixed-width hex == numeric min), which keeps every formula portable
+  * to the DuckDB oracle — no engine-specific hash() anywhere.
+  */
+object DedupOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  final val NumHashes = 8
+  final val BandSize = 2 // → 4 bands
+
+  /** Exact dedup: keep the lowest doc_id per md5(text) group. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+
+  /** Word 3-gram shingles of the text (documents are single-spaced). */
+  private def shingles(text: Column): Column = {
+    val words = split(text, " ")
+    when(size(words) >= 3,
+      transform(sequence(lit(0), size(words) - 3),
+        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2),
+          element_at(words, i + 3))))
+      .otherwise(array(text))
+  }
+
+  /** k minhash values per doc: min over shingles of
+    * substr(md5(k || ':' || shingle), 1, 16).
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sh = shingles(col("text"))
+    val sigCols = (0 until NumHashes).map { k =>
+      array_min(transform(sh, s => substring(md5(concat(lit(s"$k:"), s)), 1, 16)))
+        .as(s"mh$k")
+    }
+    d.select((col("doc_id") +: sigCols): _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band key (band = md5 of its
+    * minhash concatenation), distinct, a < b. The self-join is on the
+    * band key — shuffle is by band, never an all-pairs cross join.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+    val numBands = NumHashes / BandSize
+    val bands = (0 until numBands).map { b =>
+      val cols = (0 until BandSize).map(j => col(s"mh${b * BandSize + j}"))
+      sig.select(col("doc_id"),
+        lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("band_key"))
+    }.reduce(_ unionAll _)
+    val l = bands.select(col("band"), col("band_key"), col("doc_id").as("a"))
+    val r = bands.select(col("band"), col("band_key"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** SimHash (16-bit, md5-hex-derived): bit i of a token's hash is
+    * whether hex digit i of md5(token) is >= '8'; the signature bit is
+    * the sign of the per-bit vote sum over the doc's tokens.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tokens = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until 16).map { i =>
+      sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    val agg = tokens.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 16).map(i => when(col(s"v$i") >= 0, "1").otherwise("0"))
+    agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  /** Exact word-3-gram Jaccard, verified ONLY on LSH candidate pairs
+    * (the scale path: candidates ≪ all pairs). Output pairs with
+    * jaccard >= 0.8.
+    */
+  def ngramJaccardDups(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val d = docs(spark, dir)
+    val sets = d.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    val pairs = minhashLshPairs(spark, dir)
+    pairs
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+}

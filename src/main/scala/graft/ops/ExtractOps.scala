@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.html.HtmlTokenizer
+import graft.pipeline.{ExtractPipeline, PageRow}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extraction queries exposed through SparkEntry.
+  *
+  * `roundtrip` is the oracle-checkable byte-identity proof: each
+  * document's text is wrapped into a boilerplate-heavy page
+  * (deterministic markup: nav/sidebar/footer link farms, script/style,
+  * comments), pushed through the full tokenize → tag-tree → block
+  * classification pipeline, and must come back byte-identical — which
+  * DuckDB verifies against the original `text` column.
+  */
+object ExtractOps {
+
+  /** Deterministic page wrapper (no RNG — parity is the point). */
+  def wrapHtml(text: String): Array[Byte] = {
+    val nav = (1 to 8).map(i => s"""<li><a href="/nav$i">nav item $i</a></li>""")
+      .mkString("""<ul class="nav">""", "", "</ul>")
+    val html = new StringBuilder()
+      .append("<!DOCTYPE html><html><head><title>fixture</title>")
+      .append("<style>p { margin: 0; } /* 1 < 2 */</style>")
+      .append("<script>var q = 1 < 2 && 2 > 1;</script></head><body>")
+      .append("<!-- boilerplate -->")
+      .append(s"<header>$nav</header><aside>$nav</aside>")
+      .append(s"<main><article><p>${HtmlTokenizer.escape(text)}</p></article></main>")
+      .append(s"<footer>$nav</footer></body></html>")
+      .toString
+    html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** documents(dir) as a pages table: (url, warc_ts, html, text, lang). */
+  def documentsAsPages(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        PageRow(s"doc://$id", new java.sql.Timestamp(1577836800000L + id),
+          wrapHtml(text), "", lang)
+      }
+  }
+
+  /** Byte-identity roundtrip: wrap → extract → (doc_id, text). */
+  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = documentsAsPages(spark, dir)
+    ExtractPipeline.run(pages, charset = "utf-8")
+      .select(
+        regexp_extract(col("url"), "doc://(\\d+)", 1).cast("long").as("doc_id"),
+        col("text"))
+  }
+
+  /** Full pipeline over the synthetic web corpus (incl. giant-page skew
+    * routing); returns per-url extraction rows. Rows-only check (the
+    * byte goldens are asserted in ScalaTest against WebCorpus).
+    */
+  def webCorpus(spark: SparkSession, n: Int, partitions: Int): DataFrame = {
+    import spark.implicits._
+    val fixtures = graft.fixtures.WebCorpus.generate(n)
+    val pages = spark.createDataset(fixtures.map(_.page))
+    ExtractPipeline.run(pages, charset = "utf-8", numPartitions = partitions)
+      .select(col("url"), col("text"), col("blocks"), col("content_blocks"),
+        col("html_bytes"), col("parse_ok"))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational re-expressions of the reference's lookup/dedup/summary
+  * operators (SURVEY.md §2.2, §2.3, §2.6-2.7) over the harness tables.
+  * All joins against dimensions are broadcast (the reference's index
+  * files are small dims — J1-J8); the big side streams.
+  */
+object RelationalOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** A9 summary: distinct entity counts + relationship totals. */
+  def summaryCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val p = t(spark, dir, "part")
+    li.agg(
+      countDistinct(col("l_orderkey")).as("n_orders_ref"),
+      countDistinct(col("l_partkey")).as("n_parts_ref"),
+      count(lit(1)).as("n_lineitems"))
+      .crossJoin(o.agg(countDistinct(col("o_custkey")).as("n_customers_ref")))
+      .crossJoin(c.agg(count(lit(1)).as("n_customers")))
+      .crossJoin(p.agg(count(lit(1)).as("n_parts")))
+      .select("n_orders_ref", "n_parts_ref", "n_lineitems", "n_customers_ref",
+        "n_customers", "n_parts")
+  }
+
+  /** A10 integrity: duplicate-key scan (keys appearing more than once). */
+  def duplicateIdCheck(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** P2 case-insensitive substring filter. */
+  def filterCi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(lower(col("p_name")).contains("al"))
+      .select(col("p_partkey"), col("p_name"))
+
+  /** P4/F8 regex ID extraction. */
+  def regexExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+
+  /** F7 href split → (file, anchor). */
+  def hrefSplit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("source"), lit(".html#"), upper(md5(col("text")))).as("href"))
+      .select(col("doc_id"),
+        element_at(split(col("href"), "#"), 1).as("file"),
+        element_at(split(col("href"), "#"), 2).as("anchor"))
+
+  /** F9 md5-derived form id: upper(md5(parent_id + "_" + name)). */
+  def md5FormId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        upper(md5(concat_ws("_", col("source"), col("doc_id")))).as("form_id"))
+
+  /** J3/J4 staged lookup cascade with priority preserved: resolve each
+    * event's user against the customer dim first, the supplier dim as
+    * fallback, tagging which source matched — the reference's
+    * CuboInteligente → Relatório → Atalho priority chain re-expressed
+    * as two broadcast left joins + coalesce.
+    */
+  def lookupCascade(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_name").as("cust_name"))
+    val supp = t(spark, dir, "supplier")
+      .select(col("s_suppkey").as("skey"), col("s_name").as("supp_name"))
+    ev.join(broadcast(cust), ev("user_id") === cust("key"), "left")
+      .join(broadcast(supp), ev("user_id") === supp("skey"), "left")
+      .select(col("event_id"),
+        coalesce(col("cust_name"), col("supp_name"), lit("unresolved")).as("resolved_name"),
+        when(col("cust_name").isNotNull, "customer")
+          .when(col("supp_name").isNotNull, "supplier")
+          .otherwise("none").as("match_source"))
+  }
+
+  /** A7 first-wins dedup: earliest order per customer (deterministic
+    * tiebreak on orderkey), via a window rank — the order-sensitive
+    * `dropDuplicates` analog.
+    */
+  def dedupFirstWins(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+  }
+
+  /** J5 fuzzy best-match argmax: for each probe (brand), the best
+    * candidate (type) by the containment score with prefix bonus,
+    * threshold-gated — re-expressed as a broadcast nested-loop join +
+    * window rank 1. Scoring formula kept SQL-portable for the oracle.
+    */
+  def fuzzyBestMatch(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val probes = p.select(element_at(split(lower(col("p_name")), " "), 1).as("probe")).distinct()
+    val cands = p.select(lower(col("p_name")).as("cand")).distinct()
+    val scored = probes.crossJoin(broadcast(cands))
+      .withColumn("score",
+        when(col("cand").contains(col("probe")),
+          length(col("probe")).cast("double") / length(col("cand")) +
+            when(col("cand").startsWith(col("probe")), 0.5).otherwise(0.0))
+          .otherwise(0.0))
+      .filter(col("score") >= 0.2)
+    val w = Window.partitionBy(col("probe"))
+      .orderBy(col("score").desc, col("cand").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("probe"), col("cand"), round(col("score"), 4).as("score"))
+  }
+
+  /** TPC-H Q1-style pricing summary — the headline shuffle/agg shape
+    * (partial aggregation map-side, one shuffle).
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Broadcast dim join + agg: revenue per nation (J1-style equi-join
+    * against small dims, dims broadcast).
+    */
+  def joinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting. All
+  * are pure column expressions (whole-stage codegen, no UDFs) so the
+  * scan stays narrow and the formulas are oracle-portable.
+  */
+object TextAnalysisOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Count non-overlapping occurrences of a space-delimited marker via
+    * length difference (portable to any SQL engine).
+    */
+  private def markerCount(c: Column, marker: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), "")))
+      / marker.length).cast("long")
+
+  /** n-gram / stopword language-ID heuristic. Scores a handful of
+    * high-frequency function words per language over the padded text;
+    * argmax wins with a deterministic precedence order.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val en = Seq(" the ", " and ", " of ", " is ", " a ")
+    val pt = Seq(" de ", " que ", " do ", " da ", " em ")
+    val es = Seq(" el ", " la ", " los ", " en ", " y ")
+    def score(ws: Seq[String]): Column =
+      ws.map(w => markerCount(padded, w)).reduce(_ + _)
+    d.select(col("doc_id"),
+      score(en).as("en_score"), score(pt).as("pt_score"), score(es).as("es_score"))
+      .withColumn("predicted_lang",
+        when(col("en_score") >= col("pt_score") && col("en_score") >= col("es_score"), "en")
+          .when(col("pt_score") >= col("es_score"), "pt")
+          .otherwise("es"))
+  }
+
+  /** Quality scoring: length, word stats, stopword ratio, punctuation
+    * ratio — a FineWeb/C4-style filter signal set.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val text = col("text")
+    val nChars = length(text).cast("double")
+    val nWords = size(split(text, " ")).cast("double")
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val stopHits = Seq(" the ", " a ", " and ", " of ", " to ", " in ")
+      .map(w => markerCount(padded, w)).reduce(_ + _).cast("double")
+    val nPunct = (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double")
+    d.select(col("doc_id"),
+      nChars.cast("long").as("n_chars_m"),
+      nWords.cast("long").as("n_words"),
+      round(nChars / nWords, 4).as("mean_word_len"),
+      round(stopHits / nWords, 4).as("stopword_ratio"),
+      round(nPunct / nChars, 4).as("punct_ratio"))
+      .withColumn("quality_ok",
+        (col("n_words") >= 10) && (col("mean_word_len") >= 2.5) &&
+          (col("mean_word_len") <= 12.0))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (letter runs / digits / single punctuation marks).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    d.select(col("doc_id"),
+      size(split(trim(col("text")), " +")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+        .cast("long").as("re_tokens"))
+  }
+
+  /** Document fingerprint: md5 of the case-folded, whitespace-collapsed,
+    * punctuation-stripped text (the normalize-then-hash half of exact
+    * near-dup pipelines).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    d.select(col("doc_id"), md5(norm).as("fingerprint"))
+  }
+}

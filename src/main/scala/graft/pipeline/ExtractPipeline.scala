@@ -47,10 +47,11 @@ object ExtractPipeline {
   def routeForSkew(pages: Dataset[PageRow], numPartitions: Int,
                    giantThreshold: Int = 1 << 20): Dataset[PageRow] = {
     if (numPartitions <= 0) pages
+    else if (numPartitions == 1) pages.repartition(1)
     else {
       import pages.sparkSession.implicits._
       val giantSlots = math.max(1, numPartitions / 8)
-      val smallSlots = numPartitions - giantSlots
+      val smallSlots = math.max(1, numPartitions - giantSlots)
       val routed = pages
         .withColumn("__route",
           when(length(col("html")) >= giantThreshold,

