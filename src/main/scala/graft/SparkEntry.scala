@@ -23,6 +23,11 @@ object SparkEntry {
     // ---- extraction core (north star) ----
     "q_extract_roundtrip" -> ((s, d) => ExtractOps.roundtrip(s, d)),
     "q_web_pipeline" -> ((s, _) => ExtractOps.webCorpus(s, 300, 32)),
+    // ---- MSTR entity pipeline on the deterministic fixture corpus ----
+    // (byte-identity asserted in MstrSpec; here rows-only sanity)
+    "q_mstr_reports" -> ((s, _) => MstrQueries.reports(s)),
+    "q_mstr_nodes" -> ((s, _) => MstrQueries.nodes(s)),
+    "q_mstr_edges" -> ((s, _) => MstrQueries.edges(s)),
     // ---- reference relational operators (SURVEY.md §2) ----
     "q1_agg" -> ((s, d) => RelationalOps.q1Agg(s, d)),
     "q_join_agg" -> ((s, d) => RelationalOps.joinAgg(s, d)),

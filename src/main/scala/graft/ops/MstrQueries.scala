@@ -1,0 +1,19 @@
+package graft.ops
+
+import graft.fixtures.MstrCorpus
+import graft.mstr.MstrPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SparkEntry surface for the MSTR entity pipeline, run on the
+  * deterministic fixture corpus (byte-level goldens live in MstrSpec;
+  * the driver records rows-only here since the corpus is not a DuckDB
+  * table).
+  */
+object MstrQueries {
+  private def run(spark: SparkSession) =
+    MstrPipeline.run(spark, MstrCorpus.pages, "pt-BR", numPartitions = 2)
+
+  def reports(spark: SparkSession): DataFrame = run(spark)._1.toDF()
+  def nodes(spark: SparkSession): DataFrame = run(spark)._2.toDF()
+  def edges(spark: SparkSession): DataFrame = run(spark)._3.toDF()
+}
