@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.fixtures.WebCorpus
+import graft.pipeline.{ExtractPipeline, PageRow, PartitionLineage}
+
+/** Scaling-efficiency evidence run (BASELINE.md protocol): the SAME
+  * extraction job on the SAME pinned parquet input at a configurable
+  * parallelism level. Run twice in separate JVMs — SPARK_GRAFT_CPUS=8
+  * then 32 — efficiency = (docs/sec_32 / docs/sec_8) / 4, target ≥ 0.8
+  * (the north rule's N → 4N executor criterion, sandbox proxy).
+  *
+  * The input corpus is generated distributed (deterministic per-index
+  * RNG streams) and written to parquet ONCE; timed runs are pure
+  * read → extract → count, so generation cost never pollutes the
+  * measurement and both runs see byte-identical input.
+  *
+  * Prints ONE JSON line with rows, bytes, wall seconds, docs/sec and
+  * per-partition skew stats (max/median partition seconds).
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "200000").toInt
+    val inputDir = sys.env.getOrElse("SPARK_GRAFT_PAGES_DIR",
+      s"/tmp/graft_bench_pages_$nPages")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaling-bench")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // ~190 splits over the 12.5 GB corpus: enough granularity that
+      // both the 8- and 32-core runs stay balanced without a shuffle
+      .config("spark.sql.files.maxPartitionBytes", (64L << 20).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // one-time distributed input materialization (not timed)
+    if (!new java.io.File(s"$inputDir/_SUCCESS").exists()) {
+      spark.range(nPages.toLong).repartition(64)
+        .map(i => WebCorpus.generateOne(i.toInt).page)
+        .write.mode("overwrite").parquet(inputDir)
+    }
+
+    // warm-up pass (JIT + codegen), not timed
+    ExtractPipeline.run(
+      spark.createDataset((0 until 500).map(WebCorpus.generateOne(_).page)),
+      "utf-8", numPartitions = cpus).count()
+
+    // warm the OS page cache so both parallelism levels read from RAM —
+    // otherwise single-disk I/O noise masks compute scaling (not timed)
+    spark.read.parquet(inputDir).selectExpr("sum(length(html))").collect()
+
+    val pages = spark.read.parquet(inputDir).as[PageRow]
+    val acc = spark.sparkContext.collectionAccumulator[PartitionLineage]("lineage")
+    val t0 = System.nanoTime()
+    // numPartitions=0: extraction runs on the splittable parquet scan —
+    // no shuffle in the hot path (the salted repartition is for corpora
+    // whose giant-page tail demands it; this corpus's tail is smoothed
+    // by the 64 MB splits). The plan is scan → mapPartitions → count.
+    val out = ExtractPipeline.run(pages, "utf-8", numPartitions = 0, Some(acc))
+    val docs = out.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    import scala.jdk.CollectionConverters._
+    val parts = acc.value.asScala.toSeq
+    val nanos = parts.map(_.nanos).sorted
+    val maxN = if (nanos.nonEmpty) nanos.last / 1e9 else 0.0
+    val medN = if (nanos.nonEmpty) nanos(nanos.length / 2) / 1e9 else 0.0
+    val bytes = parts.map(_.html_bytes).sum
+    val fails = parts.map(_.parse_failures).sum
+    println(f"""{"metric":"docs_per_sec","value":${docs / wall}%.1f,"unit":"docs/sec","cpus":$cpus,"rows":$docs,"bytes":$bytes,"wall_sec":$wall%.2f,"parse_failures":$fails,"partition_sec_max":$maxN%.2f,"partition_sec_median":$medN%.2f}""")
+    spark.stop()
+  }
+}

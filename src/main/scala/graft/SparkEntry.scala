@@ -22,7 +22,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- extraction core (north star) ----
     "q_extract_roundtrip" -> ((s, d) => ExtractOps.roundtrip(s, d)),
+    "q_extract_expr" -> ((s, d) => ExtractOps.roundtripExpr(s, d)),
     "q_web_pipeline" -> ((s, _) => ExtractOps.webCorpus(s, 300, 32)),
+    // ---- multimodal binary columns (decode stub, real plumbing) ----
+    "q_media_decode" -> ((s, d) => MultimodalOps.decodeQuery(s, d)),
+    "q_media_frames" -> ((s, d) => MultimodalOps.framesQuery(s, d)),
     // ---- MSTR entity pipeline on the deterministic fixture corpus ----
     // (byte-identity asserted in MstrSpec; here rows-only sanity)
     "q_mstr_reports" -> ((s, _) => MstrQueries.reports(s)),
@@ -59,6 +63,26 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_extract_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+
+    "q_extract_expr" ->
+      "SELECT doc_id, text FROM documents",
+
+    "q_media_decode" ->
+      """SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS digest,
+         CAST(16 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS INT) AS width,
+         CAST(16 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS INT) AS height
+         FROM documents""",
+
+    "q_media_frames" ->
+      """WITH f AS (
+           SELECT doc_id, CAST(floor(octet_length(encode(text)) / 100) + 1 AS INT) AS n_frames
+           FROM documents WHERE doc_id % 3 = 2)
+         SELECT doc_id, CAST(t.frame_idx AS BIGINT) AS frame_idx,
+                md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.frame_idx AS VARCHAR)) AS frame_digest
+         FROM f, unnest(generate_series(0, n_frames - 1)) AS t(frame_idx)""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -64,7 +64,13 @@ object MainContent {
         val t = tree.text(i)
         val collapsed = TextOps.collapseWs(t)
         if (collapsed.nonEmpty) {
-          val w = collapsed.split(' ').length
+          // collapsed text is single-spaced: words = spaces + 1 (no split alloc)
+          var w = 1
+          var ci = 0
+          while (ci < collapsed.length) {
+            if (collapsed.charAt(ci) == ' ') w += 1
+            ci += 1
+          }
           words += w
           if (tree.ancestor(i, "a") >= 0) linkWords += w
           if (sb.length() > 0) sb.append(' ')

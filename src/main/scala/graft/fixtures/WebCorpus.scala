@@ -66,13 +66,13 @@ object WebCorpus {
     Fixture(PageRow(url, new Timestamp(tsMillis), bytes, "", lang), expected)
   }
 
-  /** Deterministic corpus. ~`n` pages; every `giantEvery`-th page is a
-    * multi-hundred-paragraph "giant" (heavy tail for skew tests).
+  /** One deterministic page by index — order-independent (per-page RNG
+    * stream), so generation distributes over executors.
     */
-  def generate(n: Int, seed: Long = 42L, giantEvery: Int = 97,
-               giantParagraphs: Int = 800): IndexedSeq[Fixture] = {
+  def generateOne(i: Int, seed: Long = 42L, giantEvery: Int = 97,
+                  giantParagraphs: Int = 800): Fixture = {
     val baseTs = 1577836800000L // 2020-01-01T00:00:00Z, fixed
-    (0 until n).map { i =>
+    locally {
       val rnd = new Random(seed * 1000003L + i) // per-page stream: order-independent
       val giant = giantEvery > 0 && i % giantEvery == giantEvery - 1
       val nPara = if (giant) giantParagraphs else 2 + rnd.nextInt(6)
@@ -91,4 +91,11 @@ object WebCorpus {
         baseTs + i * 1000L, paragraphs, lang, rnd)
     }
   }
+
+  /** Deterministic corpus. ~`n` pages; every `giantEvery`-th page is a
+    * multi-hundred-paragraph "giant" (heavy tail for skew tests).
+    */
+  def generate(n: Int, seed: Long = 42L, giantEvery: Int = 97,
+               giantParagraphs: Int = 800): IndexedSeq[Fixture] =
+    (0 until n).map(i => generateOne(i, seed, giantEvery, giantParagraphs))
 }

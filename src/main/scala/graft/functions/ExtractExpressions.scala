@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.extract.MainContent
+import graft.pipeline.ExtractPipeline
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions exposing the extraction core at the SQL/Column
+  * level (SURVEY.md §7.3 "optional SQL surface"): composable in any
+  * query, registered for `spark.sql` via [[GraftFunctions.register]].
+  *
+  * The heavy lifting is the same pure-Scala tokenizer/classifier used by
+  * the typed pipeline; `CodegenFallback` is appropriate here — per-row
+  * cost is dominated by parsing, not call overhead, and the expression
+  * still sits inside whole-stage-codegen'd plans as a leaf call.
+  */
+case class ExtractMainText(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "extract_main_text"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, string), got (${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(htmlBytes: Any, charset: Any): Any = {
+    val bytes = htmlBytes.asInstanceOf[Array[Byte]]
+    val cs = charset.asInstanceOf[UTF8String].toString
+    val html = ExtractPipeline.decode(bytes, cs)
+    UTF8String.fromString(MainContent.extractText(html))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Python-parity NFKD + combining-strip + upper (reference
+  * text_normalizer.py:12-31) as a scalar expression.
+  */
+case class NormalizeForComparison(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_for_comparison"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(TextOps.forComparison(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GraftFunctions {
+
+  def extract_main_text(html: Column, charset: Column): Column =
+    GraftSqlBridge.column(ExtractMainText(
+      GraftSqlBridge.expression(html), GraftSqlBridge.expression(charset)))
+
+  def normalize_for_comparison(c: Column): Column =
+    GraftSqlBridge.column(NormalizeForComparison(GraftSqlBridge.expression(c)))
+
+  /** Register for SQL: `SELECT extract_main_text(html, 'utf-8') …`. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "extract_main_text", exprs => ExtractMainText(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "normalize_for_comparison", exprs => NormalizeForComparison(exprs.head), "scala_udf")
+  }
+}

@@ -127,59 +127,93 @@ object TagTree {
   private val voidElems = Set("area", "base", "br", "col", "embed", "hr",
     "img", "input", "link", "meta", "param", "source", "track", "wbr")
 
-  def parse(html: String): TagTree = {
-    val kinds = ArrayBuffer.empty[Byte]
-    val names = ArrayBuffer.empty[String]
-    val ans = ArrayBuffer.empty[Array[String]]
-    val avs = ArrayBuffer.empty[Array[String]]
-    val texts = ArrayBuffer.empty[String]
-    val parents = ArrayBuffer.empty[Int]
-    val ends = ArrayBuffer.empty[Int]
-    val stack = new java.util.ArrayDeque[Integer]() // open element indices
+  /** Growable primitive/ref arrays — no per-element boxing (the parse
+    * path is allocation-critical: it runs per row on billions of pages).
+    */
+  private final class Builder(initial: Int) {
+    var n = 0
+    var kinds = new Array[Byte](initial)
+    var names = new Array[String](initial)
+    var ans = new Array[Array[String]](initial)
+    var avs = new Array[Array[String]](initial)
+    var texts = new Array[String](initial)
+    var parents = new Array[Int](initial)
+    var ends = new Array[Int](initial)
+    // open-element stack, primitive
+    var stack = new Array[Int](64)
+    var sp = 0
 
-    def curParent: Int = if (stack.isEmpty) -1 else stack.peek()
+    def ensure(): Unit = if (n == kinds.length) {
+      val cap = kinds.length * 2
+      kinds = java.util.Arrays.copyOf(kinds, cap)
+      names = java.util.Arrays.copyOf(names, cap)
+      ans = java.util.Arrays.copyOf(ans, cap)
+      avs = java.util.Arrays.copyOf(avs, cap)
+      texts = java.util.Arrays.copyOf(texts, cap)
+      parents = java.util.Arrays.copyOf(parents, cap)
+      ends = java.util.Arrays.copyOf(ends, cap)
+    }
+    def push(i: Int): Unit = {
+      if (sp == stack.length) stack = java.util.Arrays.copyOf(stack, sp * 2)
+      stack(sp) = i; sp += 1
+    }
+    @inline def curParent: Int = if (sp == 0) -1 else stack(sp - 1)
+  }
+
+  def parse(html: String): TagTree = {
+    val b = new Builder(math.max(16, math.min(html.length / 16, 1 << 16)))
 
     val sink = new HtmlTokenizer.Sink {
       def startTag(nm: String, attrs: List[(String, String)], selfClosing: Boolean): Unit = {
-        val idx = kinds.length
-        kinds += KElem
-        names += nm
-        if (attrs.isEmpty) { ans += null; avs += null }
-        else { ans += attrs.map(_._1).toArray; avs += attrs.map(_._2).toArray }
-        texts += null
-        parents += curParent
-        ends += -1
-        if (!selfClosing && !voidElems.contains(nm)) stack.push(idx)
-        else ends(idx) = idx + 1
+        b.ensure()
+        val idx = b.n
+        b.kinds(idx) = KElem
+        b.names(idx) = nm
+        if (attrs.nonEmpty) {
+          b.ans(idx) = attrs.map(_._1).toArray
+          b.avs(idx) = attrs.map(_._2).toArray
+        }
+        b.parents(idx) = b.curParent
+        b.ends(idx) = -1
+        b.n += 1
+        if (!selfClosing && !voidElems.contains(nm)) b.push(idx)
+        else b.ends(idx) = idx + 1
       }
       def endTag(nm: String): Unit = {
         // close matching open element if present anywhere on the stack
-        val it = stack.iterator()
-        var found = false
-        while (it.hasNext && !found) { if (names(it.next()) == nm) found = true }
-        if (found) {
-          var done = false
-          while (!done && !stack.isEmpty) {
-            val top = stack.pop()
-            ends(top) = kinds.length
-            if (names(top) == nm) done = true
+        var k = b.sp - 1
+        var found = -1
+        while (k >= 0 && found < 0) { if (b.names(b.stack(k)) == nm) found = k; k -= 1 }
+        if (found >= 0) {
+          while (b.sp > found) {
+            b.sp -= 1
+            b.ends(b.stack(b.sp)) = b.n
           }
         } // else stray end tag: ignore (html.parser behavior)
       }
       def text(t: String): Unit = {
-        val idx = kinds.length
-        kinds += KText; names += null; ans += null; avs += null
-        texts += t; parents += curParent; ends += idx + 1
+        b.ensure()
+        val idx = b.n
+        b.kinds(idx) = KText; b.texts(idx) = t
+        b.parents(idx) = b.curParent; b.ends(idx) = idx + 1
+        b.n += 1
       }
       def comment(t: String): Unit = {
-        val idx = kinds.length
-        kinds += KComment; names += null; ans += null; avs += null
-        texts += t; parents += curParent; ends += idx + 1
+        b.ensure()
+        val idx = b.n
+        b.kinds(idx) = KComment; b.texts(idx) = t
+        b.parents(idx) = b.curParent; b.ends(idx) = idx + 1
+        b.n += 1
       }
     }
     HtmlTokenizer.tokenize(html, sink)
-    while (!stack.isEmpty) ends(stack.pop()) = kinds.length
-    new TagTree(kinds.toArray, names.toArray, ans.toArray, avs.toArray,
-      texts.toArray, parents.toArray, ends.toArray)
+    while (b.sp > 0) { b.sp -= 1; b.ends(b.stack(b.sp)) = b.n }
+    new TagTree(java.util.Arrays.copyOf(b.kinds, b.n),
+      java.util.Arrays.copyOf(b.names, b.n),
+      java.util.Arrays.copyOf(b.ans, b.n),
+      java.util.Arrays.copyOf(b.avs, b.n),
+      java.util.Arrays.copyOf(b.texts, b.n),
+      java.util.Arrays.copyOf(b.parents, b.n),
+      java.util.Arrays.copyOf(b.ends, b.n))
   }
 }

@@ -42,33 +42,53 @@ object DedupOps {
 
   /** k minhash values per doc: min over shingles of
     * substr(md5(k || ':' || shingle), 1, 16).
+    *
+    * Shape: explode shingles → k hashes per shingle → hash-aggregate of
+    * k mins. The explode materializes the shingle list ONCE per doc —
+    * the pure-projection form re-inlines the shingle construction into
+    * every minhash column (CollapseProject), costing k× the split/
+    * concat work. Map-side partial aggregation keeps the shuffle at one
+    * row per (doc, partition).
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val sh = shingles(col("text"))
+    val exploded = d.select(col("doc_id"),
+      explode(shingles(col("text"))).as("shingle"))
     val sigCols = (0 until NumHashes).map { k =>
-      array_min(transform(sh, s => substring(md5(concat(lit(s"$k:"), s)), 1, 16)))
-        .as(s"mh$k")
+      min(substring(md5(concat(lit(s"$k:"), col("shingle"))), 1, 16)).as(s"mh$k")
     }
-    d.select((col("doc_id") +: sigCols): _*)
+    exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any band key (band = md5 of its
-    * minhash concatenation), distinct, a < b. The self-join is on the
-    * band key — shuffle is by band, never an all-pairs cross join.
+  /** (doc_id, band, band_key) in ONE projection: the k minhashes are
+    * computed once per row and the bands exploded from an array —
+    * keeping the plan identical on both sides of the self-join below so
+    * Catalyst's exchange reuse evaluates the signatures exactly once
+    * (the naive union-of-bands form costs 8 signature passes).
     */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir)
     val numBands = NumHashes / BandSize
-    val bands = (0 until numBands).map { b =>
+    val bandStructs = (0 until numBands).map { b =>
       val cols = (0 until BandSize).map(j => col(s"mh${b * BandSize + j}"))
-      sig.select(col("doc_id"),
-        lit(b).as("band"),
-        md5(concat_ws("|", cols: _*)).as("band_key"))
-    }.reduce(_ unionAll _)
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band key, distinct, a < b.
+    * The self-join is on the band key — shuffle is by band bucket,
+    * never an all-pairs cross join (the scale path at 10^12 docs).
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir)
     val l = bands.select(col("band"), col("band_key"), col("doc_id").as("a"))
     val r = bands.select(col("band"), col("band_key"), col("doc_id").as("b"))
-    l.join(r, Seq("band", "band_key"))
+    // merge hint: both sides shuffle on the same keys with identical
+    // subplans → Catalyst ReusedExchange computes the signatures once
+    // (a broadcast self-join would duplicate the whole signature pass)
+    l.hint("merge").join(r, Seq("band", "band_key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()

@@ -54,6 +54,17 @@ object ExtractOps {
         col("text"))
   }
 
+  /** Same roundtrip through the custom Catalyst expression
+    * (`extract_main_text(html, charset)`) — proves the SQL surface
+    * computes byte-identically to the typed pipeline.
+    */
+  def roundtripExpr(spark: SparkSession, dir: String): DataFrame = {
+    val pages = documentsAsPages(spark, dir).toDF()
+    pages.select(
+      regexp_extract(col("url"), "doc://(\\d+)", 1).cast("long").as("doc_id"),
+      graft.functions.GraftFunctions.extract_main_text(col("html"), lit("utf-8")).as("text"))
+  }
+
   /** Full pipeline over the synthetic web corpus (incl. giant-page skew
     * routing); returns per-url extraction rows. Rows-only check (the
     * byte goldens are asserted in ScalaTest against WebCorpus).

@@ -39,24 +39,35 @@ object ExtractPipeline {
     }
   }
 
-  /** Salt + size-aware routing: small pages spread by hash(url) over
-    * `numPartitions`; giant pages round-robin over a dedicated tail of
-    * partitions. Implemented as a single integer routing column so it
-    * is ONE shuffle (and none at all if `numPartitions <= 0`).
+  /** Salted, size-aware routing in ONE shuffle (none if
+    * `numPartitions <= 0`).
+    *
+    * Normal pages are salted over `numPartitions * SaltFactor` keys —
+    * fine-grained so the second hash (repartition's) cannot introduce
+    * collision skew, and each partition averages ~SaltFactor salt
+    * groups (law-of-large-numbers smoothing of per-page cost variance,
+    * including the ordinary giant-page tail).
+    *
+    * Pathologically giant pages (>= giantThreshold bytes — the 100 MB
+    * outliers a web crawl contains) are additionally segregated onto
+    * their own salt range so a single such row never queues behind a
+    * partition of small ones. AQE cannot do this — it rebalances
+    * shuffle sizes, not map-side compute — hence explicit (SURVEY.md §4).
     */
+  final val SaltFactor = 16
+
   def routeForSkew(pages: Dataset[PageRow], numPartitions: Int,
-                   giantThreshold: Int = 1 << 20): Dataset[PageRow] = {
+                   giantThreshold: Int = 4 << 20): Dataset[PageRow] = {
     if (numPartitions <= 0) pages
     else if (numPartitions == 1) pages.repartition(1)
     else {
       import pages.sparkSession.implicits._
-      val giantSlots = math.max(1, numPartitions / 8)
-      val smallSlots = math.max(1, numPartitions - giantSlots)
+      val smallKeys = numPartitions * SaltFactor
       val routed = pages
         .withColumn("__route",
           when(length(col("html")) >= giantThreshold,
-            lit(smallSlots) + pmod(hash(col("url")), lit(giantSlots)))
-            .otherwise(pmod(hash(col("url")), lit(smallSlots))))
+            lit(smallKeys) + pmod(hash(col("url")), lit(numPartitions)))
+            .otherwise(pmod(hash(col("url")), lit(smallKeys))))
         .repartition(numPartitions, col("__route"))
         .drop("__route")
       routed.as[PageRow]

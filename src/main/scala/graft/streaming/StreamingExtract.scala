@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.pipeline.{ExtractPipeline, PageRow}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface for the extraction job.
+  *
+  * The north rule's "resumable from snapshot + checkpoint manifests" is
+  * incremental batch (SURVEY.md §2.8) — TableIO covers that path. This
+  * module is the streaming-native equivalent: `readStream` over the
+  * pages directory with `Trigger.AvailableNow`, the same per-row
+  * extractor, exactly-once sink via Spark's own checkpoint dir. New
+  * parquet files dropped into the source directory are picked up on the
+  * next run; processed files are never re-extracted (file-source log in
+  * the checkpoint).
+  */
+object StreamingExtract {
+
+  val pageSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Incremental extraction: process all files available now, then stop.
+    * Returns after the sink is fully committed.
+    */
+  def runAvailableNow(spark: SparkSession, sourceDir: String, sinkDir: String,
+                      checkpointDir: String, charset: String = "utf-8"): Unit = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(sourceDir)
+      .as[PageRow]
+    // same row-local extractor as the batch path; no shuffle
+    val extracted = pages.mapPartitions(it =>
+      it.map(p => ExtractPipeline.extractOne(p, charset)))
+    val q: StreamingQuery = extracted.writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Windowed per-language extraction-rate metrics over the stream —
+    * watermark + tumbling window aggregation (the streaming metrics
+    * analog of the per-partition lineage rows).
+    */
+  def metricsQuery(pages: Dataset[PageRow], windowSec: Int = 60) = {
+    import pages.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    pages
+      .withWatermark("warc_ts", "10 minutes")
+      .groupBy(window(col("warc_ts"), s"$windowSec seconds"), col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(length(col("html"))).as("html_bytes"))
+  }
+}
