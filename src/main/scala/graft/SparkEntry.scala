@@ -50,9 +50,11 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "q_simhash" -> ((s, d) => DedupOps.simhash(s, d)),
     "q_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardDups(s, d, 0.8)),
+    "q_embed_neardup" -> ((s, d) => DedupOps.embeddingNearDups(s, d)),
     // ---- similarity search ----
     "q_cosine_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => SimilarityOps.lshBucketedNeighbors(s, d)),
+    "q_ann_ivf" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     // ---- text analysis ----
     "q_langid" -> ((s, d) => TextAnalysisOps.langId(s, d)),
     "q_quality" -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
@@ -176,6 +178,8 @@ object SparkEntry {
 
     "q_cosine_topk" -> cosineTopkOracle,
     "q_ann_lsh" -> annLshOracle,
+    "q_ann_ivf" -> ivfOracle,
+    "q_embed_neardup" -> embedNearDupOracle,
 
     "q_langid" -> langidOracle,
 
@@ -331,6 +335,62 @@ object SparkEntry {
        JOIN (SELECT vec_id, bucket, embedding AS vb FROM be) r USING (bucket)
        WHERE l.vec_id < r.vec_id
          AND round($dotAB / (sqrt($dotAA) * sqrt($dotBB)), 6) >= 0.2"""
+  }
+
+  private val ivfOracle: String = {
+    val cosEC = s"round(${dotSql.format("e.embedding", "c.cvec")} / (sqrt(${dotSql.format("e.embedding", "e.embedding")}) * sqrt(${dotSql.format("c.cvec", "c.cvec")})), 6)"
+    val cosQA = s"round(${dotSql.format("p.qvec", "a.embedding")} / (sqrt(${dotSql.format("p.qvec", "p.qvec")}) * sqrt(${dotSql.format("a.embedding", "a.embedding")})), 6)"
+    s"""WITH cents AS (
+         SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
+       sc AS (
+         SELECT e.vec_id, e.embedding, c.cent_id, $cosEC AS ccos
+         FROM embeddings e CROSS JOIN cents c),
+       ranked AS (
+         SELECT vec_id, embedding, cent_id, ccos,
+                row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+         FROM sc),
+       assigned AS (SELECT vec_id, embedding, cent_id FROM ranked WHERE rn = 1),
+       probes AS (
+         SELECT vec_id AS query_id, embedding AS qvec, cent_id
+         FROM ranked WHERE vec_id < 10 AND rn <= 2),
+       scored AS (
+         SELECT p.query_id, a.vec_id AS neighbor_id, $cosQA AS cos
+         FROM assigned a JOIN probes p USING (cent_id)
+         WHERE p.query_id <> a.vec_id)
+       SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rn FROM (
+         SELECT query_id, neighbor_id, cos,
+                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         FROM scored) WHERE rn <= 5"""
+  }
+
+  private val embedNearDupOracle: String = {
+    val cosAB = s"round(${dotSql.format("ea.embedding", "eb.embedding")} / (sqrt(${dotSql.format("ea.embedding", "ea.embedding")}) * sqrt(${dotSql.format("eb.embedding", "eb.embedding")})), 6)"
+    s"""WITH planes AS (
+         SELECT p,
+                list_transform(generate_series(0, 63),
+                  j -> CASE WHEN substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)),
+                                        (j % 16) + 1, 1) >= '8'
+                            THEN 1.0 ELSE -1.0 END) AS w
+         FROM generate_series(0, 7) t1(p)),
+       proj AS (
+         SELECT e.vec_id, pl.p,
+                list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) AS dp
+         FROM embeddings e CROSS JOIN planes pl),
+       buckets AS (
+         SELECT vec_id, p // 4 AS band,
+                string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         FROM proj GROUP BY vec_id, p // 4),
+       pairs AS (
+         SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         FROM buckets l JOIN buckets r USING (band, bucket)
+         WHERE l.vec_id < r.vec_id),
+       close_pairs AS (
+         SELECT a, b
+         FROM pairs JOIN embeddings ea ON pairs.a = ea.vec_id
+                    JOIN embeddings eb ON pairs.b = eb.vec_id
+         WHERE $cosAB >= 0.4)
+       SELECT b AS doc_id, min(a) AS dup_of FROM close_pairs GROUP BY b"""
   }
 
   private val langidOracle: String = {

@@ -129,4 +129,17 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /** Embedding-cosine near-dup: banded SRP-LSH candidates (linear, never
+    * all-pairs), exact cosine on candidates only, then each duplicate is
+    * attributed to its lowest-id kept representative. Output one row per
+    * dropped vector: (doc_id, dup_of).
+    */
+  def embeddingNearDups(spark: SparkSession, dir: String,
+                        minCos: Double = 0.4): DataFrame =
+    SimilarityOps.bandedSrpPairs(spark, dir)
+      .withColumn("cos", round(SimilarityOps.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("b").as("doc_id"))
+      .agg(min(col("a")).as("dup_of"))
 }

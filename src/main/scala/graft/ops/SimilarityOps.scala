@@ -62,6 +62,23 @@ object SimilarityOps {
     if (Character.digit(block.charAt(j % 16), 16) >= 8) 1 else -1
   }
 
+  /** Sign-random-projection bucket column over `nPlanes` hyperplanes
+    * with plane indices [firstPlane, firstPlane + nPlanes).
+    */
+  private def srpBucket(nPlanes: Int, firstPlane: Int = 0): Column = {
+    val dim = 64
+    val planes: Array[Array[Double]] =
+      Array.tabulate(nPlanes, dim)((p, j) => planeSign(firstPlane + p, j).toDouble)
+    val planesLit = typedLit(planes.map(_.toSeq).toSeq)
+    concat((0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(col("embedding"), element_at(planesLit, p + 1),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, "1").otherwise("0")
+    }: _*)
+  }
+
   /** Bucket key: for each of `nPlanes` hyperplanes, the sign bit of
     * dot(embedding, plane). Vectors in the same bucket are candidate
     * neighbors; exact cosine is computed within buckets only.
@@ -69,18 +86,7 @@ object SimilarityOps {
   def lshBucketedNeighbors(spark: SparkSession, dir: String,
                            nPlanes: Int = 8, minCos: Double = 0.2): DataFrame = {
     val e = emb(spark, dir)
-    val dim = 64
-    val planes: Array[Array[Double]] =
-      Array.tabulate(nPlanes, dim)((p, j) => planeSign(p, j).toDouble)
-    val planesLit = typedLit(planes.map(_.toSeq).toSeq)
-    val withBucket = e.withColumn("bucket",
-      concat((0 until nPlanes).map { p =>
-        val proj = aggregate(
-          zip_with(col("embedding"), element_at(planesLit, p + 1),
-            (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj >= 0, "1").otherwise("0")
-      }: _*))
+    val withBucket = e.withColumn("bucket", srpBucket(nPlanes))
     val l = withBucket.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
     val r = withBucket.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
     l.join(r, Seq("bucket"))
@@ -88,5 +94,66 @@ object SimilarityOps {
       .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** Banded SRP-LSH candidate pairs: `nBands` independent bucket tables
+    * of `planesPerBand` planes each; a pair is a candidate if it
+    * collides in ANY band (higher recall than one wide bucket, still
+    * linear candidate generation — the 10^12-row scale path).
+    */
+  def bandedSrpPairs(spark: SparkSession, dir: String,
+                     nBands: Int = 2, planesPerBand: Int = 4): DataFrame = {
+    val e = emb(spark, dir)
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"), srpBucket(planesPerBand, b * planesPerBand).as("bucket"))
+    }
+    val banded = e.select(col("vec_id"), col("embedding"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
+    val r = banded.select(col("band"), col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
+    // identical subplans on both sides → one ReusedExchange bucket pass
+    l.hint("merge").join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("va"), col("vb"))
+      .dropDuplicates("a", "b")
+  }
+
+  /** IVF-style ANN: deterministic coarse centroids (every `centStride`-th
+    * vector), each vector assigned to its nearest centroid (one broadcast
+    * nested-loop against K centroids — K ≪ corpus, linear cost), queries
+    * probe their `nProbe` nearest cells and search exactly within them.
+    * At cluster scale the assignment shuffle partitions the corpus by
+    * cell, so each probe touches ~nProbe/K of the data.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+              centStride: Int = 50, nProbe: Int = 2): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = e.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    // nearest-centroid assignment (rank 1 per vector, deterministic ties)
+    val scoredCells = e.crossJoin(broadcast(centroids))
+      .withColumn("ccos", round(cosine(col("embedding"), col("cvec")), 6))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = scoredCells.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    // queries probe their nProbe nearest cells
+    val probes = scoredCells.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("cent_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(cosine(col("qvec"), col("embedding")), 6))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        col("rn").cast("int").as("rn"))
   }
 }
