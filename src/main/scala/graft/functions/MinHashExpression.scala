@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All `numHashes` minhash values of a document's word-3-gram shingle
+  * set in ONE pass — semantically identical to
+  *
+  * {{{
+  *   min over shingles of substr(md5(k || ':' || shingle), 1, 16)
+  * }}}
+  *
+  * for k in [0, numHashes): the first 16 hex chars of an md5 compare
+  * lexicographically exactly like the unsigned 64-bit value of the
+  * first 8 digest bytes, so the per-shingle work is one cheap
+  * `MessageDigest` update per k and an unsigned-long min — no hex
+  * string, no UTF8String, no per-hash Catalyst expression tree. This
+  * replaces an explode(1M shingles) → 8×md5 → hash-aggregate plan
+  * (one full shuffle + ~12µs/hash of expression overhead) with a
+  * shuffle-free projection.
+  *
+  * Shingles: split on single space (trailing empties kept — mirrors
+  * both Spark `split(text, ' ')` and DuckDB `string_split`), 3-word
+  * windows joined by ' '; docs with <3 words use the whole text.
+  *
+  * CodegenFallback is fine: one eval per DOCUMENT (not per shingle);
+  * parsing dominates.
+  */
+case class MinHashSigs(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
+
+  // the expression instance is referenced from generated code shared by
+  // every task in the stage (same JVM in local mode) — digest state must
+  // be per-thread
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  @transient private lazy val bufLocal =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(k => s"$k:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Unsigned-compare key of the first 8 digest bytes; adding Long.MinValue
+    * maps unsigned order onto signed Long order.
+    */
+  @inline private def key8(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v + Long.MinValue
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val words = text.split(" ", -1)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val md = mdLocal.get()
+    val digestBuf = bufLocal.get()
+
+    def absorb(shingle: String): Unit = {
+      val sb = shingle.getBytes(utf8)
+      var k = 0
+      while (k < numHashes) {
+        md.reset()
+        md.update(prefixes(k))
+        md.update(sb)
+        md.digest(digestBuf, 0, 16)
+        val v = key8(digestBuf)
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+    }
+
+    if (words.length >= 3) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + 2 < words.length) {
+        sb.setLength(0)
+        sb.append(words(i)).append(' ').append(words(i + 1)).append(' ').append(words(i + 2))
+        absorb(sb.toString)
+        i += 1
+      }
+    } else absorb(text)
+
+    val out = new Array[Any](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      out(k) = UTF8String.fromString(f"${mins(k) - Long.MinValue}%016x")
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashFunctions {
+  def minhash_sigs(text: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(MinHashSigs(GraftSqlBridge.expression(text), numHashes))
+}

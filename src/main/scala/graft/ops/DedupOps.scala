@@ -30,34 +30,20 @@ object DedupOps {
       .groupBy(md5(col("text")).as("digest"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
 
-  /** Word 3-gram shingles of the text (documents are single-spaced). */
-  private def shingles(text: Column): Column = {
-    val words = split(text, " ")
-    when(size(words) >= 3,
-      transform(sequence(lit(0), size(words) - 3),
-        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2),
-          element_at(words, i + 3))))
-      .otherwise(array(text))
-  }
-
   /** k minhash values per doc: min over shingles of
-    * substr(md5(k || ':' || shingle), 1, 16).
-    *
-    * Shape: explode shingles → k hashes per shingle → hash-aggregate of
-    * k mins. The explode materializes the shingle list ONCE per doc —
-    * the pure-projection form re-inlines the shingle construction into
-    * every minhash column (CollapseProject), costing k× the split/
-    * concat work. Map-side partial aggregation keeps the shuffle at one
-    * row per (doc, partition).
+    * substr(md5(k || ':' || shingle), 1, 16) — computed by the native
+    * [[graft.functions.MinHashSigs]] expression in ONE pass per
+    * document: a shuffle-free projection, versus the naive
+    * explode(shingles) → k×md5 → hash-aggregate plan (full shuffle +
+    * per-hash expression overhead). Byte-identical output by
+    * construction (see the expression's scaladoc).
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val exploded = d.select(col("doc_id"),
-      explode(shingles(col("text"))).as("shingle"))
-    val sigCols = (0 until NumHashes).map { k =>
-      min(substring(md5(concat(lit(s"$k:"), col("shingle"))), 1, 16)).as(s"mh$k")
-    }
-    exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val withSig = d.select(col("doc_id"),
+      graft.functions.MinHashFunctions.minhash_sigs(col("text"), NumHashes).as("mh"))
+    val sigCols = (0 until NumHashes).map(k => element_at(col("mh"), k + 1).as(s"mh$k"))
+    withSig.select(col("doc_id") +: sigCols: _*)
   }
 
   /** (doc_id, band, band_key) in ONE projection: the k minhashes are
@@ -118,14 +104,16 @@ object DedupOps {
   def ngramJaccardDups(spark: SparkSession, dir: String,
                        threshold: Double = 0.8): DataFrame = {
     val d = docs(spark, dir)
-    val sets = d.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    val texts = d.select(col("doc_id"), col("text"))
     val pairs = minhashLshPairs(spark, dir)
+    // verification work is per candidate PAIR (≪ corpus): join the two
+    // texts and compute the exact jaccard natively — no per-document
+    // shingle-array column ever materializes or shuffles
     pairs
-      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .join(texts.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+      .join(texts.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+      .withColumn("jaccard",
+        round(graft.functions.ShingleFunctions.shingle_jaccard(col("ta"), col("tb")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -138,7 +126,8 @@ object DedupOps {
   def embeddingNearDups(spark: SparkSession, dir: String,
                         minCos: Double = 0.4): DataFrame =
     SimilarityOps.bandedSrpPairs(spark, dir)
-      .withColumn("cos", round(SimilarityOps.cosine(col("va"), col("vb")), 6))
+      .withColumn("cos",
+        round(SimilarityOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= minCos)
       .groupBy(col("b").as("doc_id"))
       .agg(min(col("a")).as("dup_of"))
