@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** The native expressions must be BIT-identical to the interpreted
+  * higher-order / builtin forms they replace — that identity is what
+  * keeps the DuckDB oracles valid.
+  */
+class VectorExprSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("VecDot == aggregate(zip_with(...)) bit-for-bit on random float vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = (1 to 30).map { _ =>
+      (Array.fill(64)(rnd.nextFloat() * 20 - 10), Array.fill(64)(rnd.nextFloat() * 20 - 10))
+    }
+    val df = vecs.toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val native = graft.functions.VectorFunctions.vec_dot(col("a"), col("b"))
+    df.select(hof, native).collect().foreach { case Row(h: Double, n: Double) =>
+      assert(java.lang.Double.doubleToLongBits(h) == java.lang.Double.doubleToLongBits(n))
+    }
+  }
+
+  test("VecDot handles double arrays and nulls") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    assert(df.select(graft.functions.VectorFunctions.vec_dot(col("a"), col("b")))
+      .head.getDouble(0) == 11.0)
+    val withNull = df.select(
+      graft.functions.VectorFunctions.vec_dot(lit(null).cast("array<double>"), col("b")))
+    assert(withNull.head.isNullAt(0))
+  }
+
+  test("MinHashSigs == min(substr(md5(k:shingle),1,16)) over exploded shingles") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two",             // <3 words → whole text
+      "",                    // empty
+      "a b c",
+      "repeated repeated repeated repeated words words")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    // reference form: explode → md5 per (k, shingle) → min
+    val words = split(col("text"), " ")
+    val sh = when(size(words) >= 3,
+      transform(sequence(lit(0), size(words) - 3),
+        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2),
+          element_at(words, i + 3))))
+      .otherwise(array(col("text")))
+    val exploded = d.select(col("doc_id"), explode(sh).as("shingle"))
+    val refCols = (0 until 8).map(k =>
+      min(substring(md5(concat(lit(s"$k:"), col("shingle"))), 1, 16)).as(s"mh$k"))
+    val ref = exploded.groupBy(col("doc_id")).agg(refCols.head, refCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+
+    val got = d.select(col("doc_id"),
+      graft.functions.MinHashFunctions.minhash_sigs(col("text"), 8).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) == ref(i.toLong), s"doc $i")
+    }
+  }
+
+  test("ShingleJaccard == array_intersect/array_union distinct form") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("the quick brown fox jumps", "the quick brown fox sleeps"),
+      ("a b c d", "a b c d"),
+      ("one two", "one two"),          // <3 words both
+      ("x y z w", "totally different words here"))
+    val df = pairs.toDF("ta", "tb")
+    def shingleArr(c: org.apache.spark.sql.Column) = {
+      val w = split(c, " ")
+      array_distinct(when(size(w) >= 3,
+        transform(sequence(lit(0), size(w) - 3),
+          i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+            element_at(w, i + 3)))).otherwise(array(c)))
+    }
+    val refCol = size(array_intersect(shingleArr(col("ta")), shingleArr(col("tb"))))
+      .cast("double") / size(array_union(shingleArr(col("ta")), shingleArr(col("tb"))))
+    val rows = df.select(refCol.as("ref"),
+      graft.functions.ShingleFunctions.shingle_jaccard(col("ta"), col("tb")).as("got"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+  }
+}
