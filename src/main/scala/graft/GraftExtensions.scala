@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** Spark extensions entry point — registers every graft Catalyst
+  * expression as a built-in-grade SQL function, so a cluster job can
+  * enable the whole library with
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * and use `extract_main_text`, `vec_dot`, `minhash_sigs`,
+  * `shingle_jaccard`, `normalize_for_comparison` from pure SQL.
+  * (Unlike the temp-function fallback in
+  * [[graft.functions.GraftFunctions.register]], extension-injected
+  * functions survive into every new session of the application.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def inject(ext: SparkSessionExtensions, name: String, usage: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+      builder: FunctionBuilder))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    inject(ext, "extract_main_text",
+      "extract_main_text(html BINARY, charset STRING) - main-content text of an HTML page") {
+      exprs => ExtractMainText(exprs.head, exprs(1))
+    }
+    inject(ext, "normalize_for_comparison",
+      "normalize_for_comparison(s STRING) - NFKD, combining marks stripped, uppercased") {
+      exprs => NormalizeForComparison(exprs.head)
+    }
+    inject(ext, "vec_dot",
+      "vec_dot(a ARRAY<FLOAT|DOUBLE>, b ARRAY<FLOAT|DOUBLE>) - left-to-right double dot product") {
+      exprs => VecDot(exprs.head, exprs(1))
+    }
+    inject(ext, "minhash_sigs",
+      "minhash_sigs(text STRING, k INT) - k word-3-gram minhash values (16-hex-char each)") {
+      exprs =>
+        val k = exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_sigs: k must be an integer literal, got $other")
+        }
+        MinHashSigs(exprs.head, k)
+    }
+    inject(ext, "shingle_jaccard",
+      "shingle_jaccard(a STRING, b STRING) - exact word-3-gram jaccard similarity") {
+      exprs => ShingleJaccard(exprs.head, exprs(1))
+    }
+  }
+}

@@ -23,6 +23,7 @@ object SparkEntry {
     // ---- extraction core (north star) ----
     "q_extract_roundtrip" -> ((s, d) => ExtractOps.roundtrip(s, d)),
     "q_extract_expr" -> ((s, d) => ExtractOps.roundtripExpr(s, d)),
+    "q_pdf_roundtrip" -> ((s, d) => ExtractOps.pdfRoundtrip(s, d)),
     "q_web_pipeline" -> ((s, _) => ExtractOps.webCorpus(s, 300, 32)),
     // ---- multimodal binary columns (decode stub, real plumbing) ----
     "q_media_decode" -> ((s, d) => MultimodalOps.decodeQuery(s, d)),
@@ -67,6 +68,9 @@ object SparkEntry {
       "SELECT doc_id, text FROM documents",
 
     "q_extract_expr" ->
+      "SELECT doc_id, text FROM documents",
+
+    "q_pdf_roundtrip" ->
       "SELECT doc_id, text FROM documents",
 
     "q_media_decode" ->

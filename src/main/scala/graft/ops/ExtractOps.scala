@@ -65,6 +65,27 @@ object ExtractOps {
       graft.functions.GraftFunctions.extract_main_text(col("html"), lit("utf-8")).as("text"))
   }
 
+  /** PDF byte-identity roundtrip (north rule "PDF/layout parse"): each
+    * document's text becomes a complete synthetic PDF (even doc_ids
+    * Flate-compressed, odd raw — both decode paths exercised), routed
+    * through the SAME pipeline as HTML via content sniffing, and must
+    * come back byte-identical.
+    */
+  def pdfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        PageRow(s"doc://$id", new java.sql.Timestamp(1577836800000L + id),
+          graft.pdf.PdfGen.pdf(Seq(text), flate = id % 2 == 0), "", lang)
+      }
+    ExtractPipeline.run(pages, charset = "utf-8")
+      .select(
+        regexp_extract(col("url"), "doc://(\\d+)", 1).cast("long").as("doc_id"),
+        col("text"))
+  }
+
   /** Full pipeline over the synthetic web corpus (incl. giant-page skew
     * routing); returns per-url extraction rows. Rows-only check (the
     * byte goldens are asserted in ScalaTest against WebCorpus).

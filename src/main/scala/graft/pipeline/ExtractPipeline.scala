@@ -28,10 +28,19 @@ object ExtractPipeline {
 
   def extractOne(p: PageRow, charset: String): ExtractedDoc = {
     try {
+      if (graft.pdf.PdfTextExtractor.isPdf(p.html)) {
+        // PDF leg (north rule "PDF/layout parse"): content-type sniff on
+        // the magic bytes, layout-aware text ops interpreter
+        val text = graft.pdf.PdfTextExtractor.extractText(p.html)
+        val nLines = if (text.isEmpty) 0 else text.count(_ == '\n') + 1
+        ExtractedDoc(p.url, p.warc_ts, text, p.lang, nLines, nLines,
+          p.html.length.toLong, text.length.toLong, parse_ok = true)
+      } else {
       val html = decode(p.html, charset)
       val (text, st) = MainContent.extractWithStats(html)
       ExtractedDoc(p.url, p.warc_ts, text, p.lang, st.blocks, st.contentBlocks,
         p.html.length.toLong, text.length.toLong, parse_ok = true)
+      }
     } catch {
       case _: Exception =>
         ExtractedDoc(p.url, p.warc_ts, "", p.lang, 0, 0,
