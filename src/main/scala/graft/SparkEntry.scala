@@ -24,6 +24,7 @@ object SparkEntry {
     "q_extract_roundtrip" -> ((s, d) => ExtractOps.roundtrip(s, d)),
     "q_extract_expr" -> ((s, d) => ExtractOps.roundtripExpr(s, d)),
     "q_pdf_roundtrip" -> ((s, d) => ExtractOps.pdfRoundtrip(s, d)),
+    "q_extract_spans" -> ((s, d) => ExtractOps.spansRoundtrip(s, d)),
     "q_web_pipeline" -> ((s, _) => ExtractOps.webCorpus(s, 300, 32)),
     // ---- multimodal binary columns (decode stub, real plumbing) ----
     "q_media_decode" -> ((s, d) => MultimodalOps.decodeQuery(s, d)),
@@ -72,6 +73,18 @@ object SparkEntry {
 
     "q_pdf_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+
+    "q_extract_spans" ->
+      """SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS h1,
+         'Section ' || CAST(doc_id % 7 AS VARCHAR) AS h2,
+         CAST(1 AS BIGINT) AS n_tables,
+         CAST(3 AS BIGINT) AS n_rows,
+         source AS cell_source,
+         CAST(length(text) AS BIGINT) AS cell_len,
+         source AS meta_source
+         FROM documents""",
 
     "q_media_decode" ->
       """SELECT doc_id,

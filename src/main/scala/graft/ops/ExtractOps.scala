@@ -86,6 +86,44 @@ object ExtractOps {
         col("text"))
   }
 
+  /** Deterministic structured page for the span-extraction roundtrip:
+    * title + meta + two headings + a 3-row key/value table + body text.
+    */
+  def spanPage(id: Long, source: String, text: String): String = {
+    val esc = HtmlTokenizer.escape _
+    s"""<html><head><title>Doc $id</title>
+       |<meta name="source" content="${esc(source)}"></head>
+       |<body><h1>Doc $id</h1><h2>Section ${id % 7}</h2>
+       |<table><tr><th>key</th><th>value</th></tr>
+       |<tr><td>source</td><td>${esc(source)}</td></tr>
+       |<tr><td>len</td><td>${text.length}</td></tr></table>
+       |<p>${esc(text)}</p></body></html>""".stripMargin
+  }
+
+  /** Generic tag-path span extraction roundtrip (north star: "tables,
+    * headings, metadata blocks"): every structured field is recovered by
+    * PARSING the page with [[graft.extract.Spans]], then checked against
+    * the DuckDB oracle's direct recomputation from the source columns.
+    */
+  def spansRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val sp = graft.extract.Spans.extract(spanPage(id, source, text))
+        val table = sp.tables.head
+        (id, sp.title.getOrElse(""),
+          sp.headings.find(_.level == 1).map(_.text).getOrElse(""),
+          sp.headings.find(_.level == 2).map(_.text).getOrElse(""),
+          sp.tables.length.toLong, table.length.toLong,
+          table(1)(1), table(2)(1).toLong,
+          sp.metas.toMap.getOrElse("source", ""))
+      }
+      .toDF("doc_id", "title", "h1", "h2", "n_tables", "n_rows",
+        "cell_source", "cell_len", "meta_source")
+  }
+
   /** Full pipeline over the synthetic web corpus (incl. giant-page skew
     * routing); returns per-url extraction rows. Rows-only check (the
     * byte goldens are asserted in ScalaTest against WebCorpus).
