@@ -43,19 +43,27 @@ object MainContent {
     var linkWords = 0
 
     def flush(): Unit = {
-      val t = TextOps.collapseWs(sb.toString)
-      if (t.nonEmpty) blocks += Block(t, words, linkWords)
+      // every appended fragment is individually collapsed (trimmed,
+      // single-spaced) and fragments are joined with one space, so the
+      // buffer is already in collapsed form — byte-identical to
+      // collapseWs(sb), without the second pass
+      if (sb.length() > 0) blocks += Block(sb.toString, words, linkWords)
       sb.setLength(0); words = 0; linkWords = 0
     }
 
     var i = 0
     val n = tree.size
+    // document-order watermark: a text node is link text iff it sits
+    // before the exclusive end of the most recent <a> subtree — O(1)
+    // per node instead of a parent-chain walk
+    var aUntil = -1
     while (i < n) {
       if (tree.isElem(i)) {
         val nm = tree.name(i)
         if (skipElems.contains(nm)) {
           i = tree.end(i) // skip whole subtree
         } else {
+          if (nm == "a" && tree.end(i) > aUntil) aUntil = tree.end(i)
           if (blockElems.contains(nm)) flush()
           if (nm == "br") flush()
           i += 1
@@ -72,7 +80,7 @@ object MainContent {
             ci += 1
           }
           words += w
-          if (tree.ancestor(i, "a") >= 0) linkWords += w
+          if (i < aUntil) linkWords += w
           if (sb.length() > 0) sb.append(' ')
           sb.append(collapsed)
         }

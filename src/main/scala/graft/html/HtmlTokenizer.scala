@@ -16,10 +16,63 @@ package graft.html
 object HtmlTokenizer {
 
   trait Sink {
-    def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit
+    /** `attrNames`/`attrValues` are null when the tag has no attributes;
+      * when non-null they are freshly allocated (safe to keep).
+      */
+    def startTag(name: String, attrNames: Array[String],
+                 attrValues: Array[String], selfClosing: Boolean): Unit
     def endTag(name: String): Unit
     def text(t: String): Unit
     def comment(t: String): Unit
+  }
+
+  /** Canonical interned names for the hot path: tag/attr names resolve
+    * to shared constants via case-insensitive region compare — zero
+    * allocation for every common tag (`substring` + `toLowerCase` per
+    * tag otherwise dominates tokenizer garbage).
+    */
+  private val canonicalNames: Array[String] = Array(
+    "a", "abbr", "address", "article", "aside", "b", "blockquote", "body",
+    "br", "button", "center", "col", "dd", "div", "dl", "dt", "em",
+    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
+    "h4", "h5", "h6", "head", "header", "hr", "html", "i", "img", "input",
+    "li", "link", "main", "meta", "nav", "noscript", "ol", "option", "p",
+    "pre", "script", "section", "select", "small", "span", "strong",
+    "style", "table", "tbody", "td", "template", "tfoot", "th", "thead",
+    "title", "tr", "u", "ul",
+    // common attribute names share the table
+    "alt", "charset", "class", "content", "height", "href", "id", "lang",
+    "name", "property", "rel", "src", "type", "valign", "value", "width")
+
+  private val canonByFirst: Array[Array[String]] = {
+    val out = new Array[Array[String]](26)
+    var c = 0
+    while (c < 26) {
+      out(c) = canonicalNames.filter(_.charAt(0) == ('a' + c).toChar)
+      c += 1
+    }
+    out
+  }
+
+  /** Lowercased name of html[start,end) — an interned constant when the
+    * name is common, a fresh lowercase string otherwise.
+    */
+  private def canonName(html: String, start: Int, end: Int): String = {
+    val len = end - start
+    if (len > 0) {
+      val c0 = Character.toLowerCase(html.charAt(start))
+      if (c0 >= 'a' && c0 <= 'z') {
+        val cands = canonByFirst(c0 - 'a')
+        var k = 0
+        while (k < cands.length) {
+          val cand = cands(k)
+          if (cand.length == len && html.regionMatches(true, start, cand, 0, len))
+            return cand
+          k += 1
+        }
+      }
+    }
+    html.substring(start, end).toLowerCase(java.util.Locale.ROOT)
   }
 
   private val namedEntities: Map[String, String] = Map(
@@ -105,6 +158,9 @@ object HtmlTokenizer {
     val n = html.length
     var i = 0
     var textStart = 0
+    // per-call attr scratch (grown on demand, copied out per tag)
+    var scratchN = new Array[String](8)
+    var scratchV = new Array[String](8)
 
     def flushText(until: Int): Unit =
       if (until > textStart) sink.text(unescape(html.substring(textStart, until)))
@@ -142,7 +198,7 @@ object HtmlTokenizer {
           if (j == nameStart) { i = lt + 1 } // "</" not a tag: keep as text
           else {
             flushText(lt)
-            val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+            val name = canonName(html, nameStart, j)
             val close = html.indexOf('>', j)
             i = if (close < 0) n else close + 1
             sink.endTag(name)
@@ -152,8 +208,8 @@ object HtmlTokenizer {
           // start tag
           var j = lt + 1
           while (j < n && isNameChar(html.charAt(j))) j += 1
-          val name = html.substring(lt + 1, j).toLowerCase(java.util.Locale.ROOT)
-          var attrs: List[(String, String)] = Nil
+          val name = canonName(html, lt + 1, j)
+          var nAttrs = 0
           var selfClosing = false
           var done = false
           var broken = false
@@ -168,7 +224,7 @@ object HtmlTokenizer {
               } else if (isNameChar(cj)) {
                 val as = j
                 while (j < n && isNameChar(html.charAt(j))) j += 1
-                val aname = html.substring(as, j).toLowerCase(java.util.Locale.ROOT)
+                val aname = canonName(html, as, j)
                 while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
                 var avalue = ""
                 if (j < n && html.charAt(j) == '=') {
@@ -187,7 +243,13 @@ object HtmlTokenizer {
                     avalue = html.substring(vs, j)
                   }
                 }
-                attrs = (aname, unescape(avalue)) :: attrs
+                if (nAttrs == scratchN.length) {
+                  scratchN = java.util.Arrays.copyOf(scratchN, nAttrs * 2)
+                  scratchV = java.util.Arrays.copyOf(scratchV, nAttrs * 2)
+                }
+                scratchN(nAttrs) = aname
+                scratchV(nAttrs) = unescape(avalue)
+                nAttrs += 1
               } else {
                 j += 1 // junk char inside tag: skip
               }
@@ -195,7 +257,9 @@ object HtmlTokenizer {
           }
           if (broken && j >= n && !done) { i = n }
           flushText(lt)
-          sink.startTag(name, attrs.reverse, selfClosing)
+          if (nAttrs == 0) sink.startTag(name, null, null, selfClosing)
+          else sink.startTag(name, java.util.Arrays.copyOf(scratchN, nAttrs),
+            java.util.Arrays.copyOf(scratchV, nAttrs), selfClosing)
           i = j
           textStart = i
           // raw-text elements: consume to the matching close tag verbatim

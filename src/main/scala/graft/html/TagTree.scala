@@ -164,14 +164,15 @@ object TagTree {
     val b = new Builder(math.max(16, math.min(html.length / 16, 1 << 16)))
 
     val sink = new HtmlTokenizer.Sink {
-      def startTag(nm: String, attrs: List[(String, String)], selfClosing: Boolean): Unit = {
+      def startTag(nm: String, attrNames: Array[String],
+                   attrValues: Array[String], selfClosing: Boolean): Unit = {
         b.ensure()
         val idx = b.n
         b.kinds(idx) = KElem
         b.names(idx) = nm
-        if (attrs.nonEmpty) {
-          b.ans(idx) = attrs.map(_._1).toArray
-          b.avs(idx) = attrs.map(_._2).toArray
+        if (attrNames != null) {
+          b.ans(idx) = attrNames
+          b.avs(idx) = attrValues
         }
         b.parents(idx) = b.curParent
         b.ends(idx) = -1
