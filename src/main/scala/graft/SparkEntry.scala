@@ -53,6 +53,7 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => DedupOps.simhash(s, d)),
     "q_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardDups(s, d, 0.8)),
     "q_embed_neardup" -> ((s, d) => DedupOps.embeddingNearDups(s, d)),
+    "q_dedup_cc" -> ((s, d) => DedupOps.lshConnectedComponents(s, d)),
     // ---- similarity search ----
     "q_cosine_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => SimilarityOps.lshBucketedNeighbors(s, d)),
@@ -197,6 +198,7 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> ivfOracle,
     "q_embed_neardup" -> embedNearDupOracle,
+    "q_dedup_cc" -> dedupCcOracle,
 
     "q_langid" -> langidOracle,
 
@@ -353,6 +355,26 @@ object SparkEntry {
        WHERE l.vec_id < r.vec_id
          AND round($dotAB / (sqrt($dotAA) * sqrt($dotBB)), 6) >= 0.2"""
   }
+
+  private val dedupCcOracle: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       $sigCte,
+       bands AS (
+         SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+         UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+         UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+         UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+       prs AS (
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r USING (band, band_key)
+         WHERE l.doc_id < r.doc_id),
+       e AS (SELECT a AS s, b AS t FROM prs UNION SELECT b, a FROM prs),
+       walk(s, t) AS (
+         SELECT s, t FROM e
+         UNION
+         SELECT w.s, e2.t FROM walk w JOIN e e2 ON w.t = e2.s)
+       SELECT s AS doc_id, least(s, min(t)) AS component
+       FROM walk GROUP BY s"""
 
   private val ivfOracle: String = {
     val cosEC = s"round(${dotSql.format("e.embedding", "c.cvec")} / (sqrt(${dotSql.format("e.embedding", "e.embedding")}) * sqrt(${dotSql.format("c.cvec", "c.cvec")})), 6)"

@@ -118,6 +118,46 @@ object DedupOps {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Connected components over the LSH duplicate graph: every doc that
+    * appears in a candidate pair gets the MINIMUM doc_id reachable
+    * through shared-band edges as its `component` (the canonical
+    * representative of its duplicate cluster).
+    *
+    * Min-label propagation: labels start as self, each round takes the
+    * min of own and neighbors' labels, until no label changes —
+    * converges in O(cluster diameter) rounds (dup clusters are
+    * near-cliques, so 2-3 rounds in practice). Lineage is cut per round
+    * with localCheckpoint so the plan stays flat. At 10^12 docs the same
+    * loop shape holds (each round = one shuffle-join on doc_id); for
+    * adversarial long-chain graphs swap in alternating large-star /
+    * small-star rounds — same join primitive, better worst-case depth.
+    */
+  def lshConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir)
+    val edges = pairs.select(col("a").as("s"), col("b").as("t"))
+      .union(pairs.select(col("b").as("s"), col("a").as("t")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("s").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("t"), col("component").as("tcomp")), Seq("t"))
+        .groupBy(col("s").as("doc_id"))
+        .agg(min(col("tcomp")).as("ncomp"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("doc_id"), col("component").as("old")), Seq("doc_id"))
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup: banded SRP-LSH candidates (linear, never
     * all-pairs), exact cosine on candidates only, then each duplicate is
     * attributed to its lowest-id kept representative. Output one row per

@@ -148,11 +148,18 @@ object TextOps {
   def decodeLatin1(bytes: Array[Byte]): String =
     new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
 
+  // decoder construction is ~1µs — measurable at 100k docs/sec/core;
+  // CharsetDecoder is stateful, so reuse per thread with reset()
+  private val utf8DecoderLocal =
+    ThreadLocal.withInitial[java.nio.charset.CharsetDecoder](() =>
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        .replaceWith("�"))
+
   def decodeUtf8Replace(bytes: Array[Byte]): String = {
-    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-      .replaceWith("�")
+    val dec = utf8DecoderLocal.get()
+    dec.reset()
     dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
   }
 
@@ -162,6 +169,20 @@ object TextOps {
     */
   def collapseWs(s: String): String = {
     if (s == null || s.isEmpty) return ""
+    // fast path: already collapsed (no py-space other than single
+    // interior ASCII spaces) → return the input unchanged, no copy
+    var fi = 0
+    var clean = s.charAt(0) != ' ' && s.charAt(s.length - 1) != ' '
+    while (clean && fi < s.length) {
+      val c = s.charAt(fi)
+      if (c == ' ') { if (fi + 1 < s.length && s.charAt(fi + 1) == ' ') clean = false }
+      else if (c >= 0x85 || (c < 0x20)) {
+        // any non-space py whitespace or control/unicode space candidate
+        if (UnicodeTables.isPySpace(c)) clean = false
+      }
+      fi += 1
+    }
+    if (clean) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     var pendingSpace = false
