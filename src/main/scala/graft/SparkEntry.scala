@@ -60,6 +60,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     // ---- text analysis ----
     "q_langid" -> ((s, d) => TextAnalysisOps.langId(s, d)),
+    "q_langid_acc" -> ((s, d) => TextAnalysisOps.langIdAccuracy(s, d)),
     "q_quality" -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysisOps.tokenCount(s, d)),
     "q_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
@@ -201,6 +202,11 @@ object SparkEntry {
     "q_dedup_cc" -> dedupCcOracle,
 
     "q_langid" -> langidOracle,
+    "q_langid_acc" ->
+      s"""WITH pred AS ($langidOracle)
+         SELECT d.lang, pred.predicted_lang, count(*) AS n
+         FROM pred JOIN documents d USING (doc_id)
+         GROUP BY 1, 2""",
 
     "q_quality" ->
       """SELECT doc_id,

@@ -40,6 +40,19 @@ object TextAnalysisOps {
           .otherwise("es"))
   }
 
+  /** Language-ID evaluation: confusion counts of the n-gram predictor
+    * against the corpus's `lang` label (prediction from P(2.8)-style
+    * heuristics; the label set is wider than the predictor's — non-
+    * {en,pt,es} labels measure the open-set error rate).
+    */
+  def langIdAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"))
+    langId(spark, dir)
+      .join(d, Seq("doc_id"))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Quality scoring: length, word stats, stopword ratio, punctuation
     * ratio — a FineWeb/C4-style filter signal set.
     */
