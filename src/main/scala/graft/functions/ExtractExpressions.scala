@@ -71,11 +71,29 @@ object GraftFunctions {
   def normalize_for_comparison(c: Column): Column =
     GraftSqlBridge.column(NormalizeForComparison(GraftSqlBridge.expression(c)))
 
-  /** Register for SQL: `SELECT extract_main_text(html, 'utf-8') …`. */
+  /** Register for SQL: `SELECT extract_main_text(html, 'utf-8') …`.
+    * Session-scoped equivalent of [[graft.GraftExtensions]] (which is
+    * the cluster-wide `spark.sql.extensions` path).
+    */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "extract_main_text", exprs => ExtractMainText(exprs.head, exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    reg.createOrReplaceTempFunction(
       "normalize_for_comparison", exprs => NormalizeForComparison(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "shingle_jaccard", exprs => ShingleJaccard(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => {
+        val k = exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_sigs: k must be an integer literal, got $other")
+        }
+        MinHashSigs(exprs.head, k)
+      }, "scala_udf")
   }
 }
