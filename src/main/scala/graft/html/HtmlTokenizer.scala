@@ -267,9 +267,12 @@ object HtmlTokenizer {
             val needle = "</" + name
             var closeIdx = -1
             var k = i
+            // jump between '<' occurrences instead of probing every char
             while (closeIdx < 0 && k <= n - needle.length) {
-              if (html.regionMatches(true, k, needle, 0, needle.length)) closeIdx = k
-              else k += 1
+              val lt2 = html.indexOf('<', k)
+              if (lt2 < 0 || lt2 > n - needle.length) k = n
+              else if (html.regionMatches(true, lt2, needle, 0, needle.length)) closeIdx = lt2
+              else k = lt2 + 1
             }
             val end = if (closeIdx < 0) n else closeIdx
             if (end > i) sink.text(html.substring(i, end)) // raw: no unescape

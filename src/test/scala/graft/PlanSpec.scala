@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these
+  * queries scale (broadcast dims, pruned scans, no accidental cartesian
+  * products) are asserted, not just eyeballed — a refactor that
+  * silently degrades the plan fails CI.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_join_agg: all dimension joins broadcast, lineitem scan pruned") {
+    val p = plan("q_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge for broadcast-size dims")
+    assert(!p.contains("CartesianProduct"))
+    // column pruning on the fact scan: only 3 lineitem columns read
+    assert(p.contains("l_orderkey") && !p.contains("l_comment"),
+      "lineitem scan must not read unused columns")
+  }
+
+  test("q_lookup_cascade: left joins stay broadcast") {
+    val p = plan("q_lookup_cascade")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_extract_roundtrip: documents scan prunes to 3 columns") {
+    val p = plan("q_extract_roundtrip")
+    assert(p.contains("doc_id") && p.contains("text") && p.contains("lang"))
+    assert(!p.contains("source"), "unused 'source' column must be pruned from the scan")
+  }
+
+  test("q_minhash_lsh: bucket self-join is keyed, not cartesian") {
+    val p = plan("q_minhash_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q1_agg: partial (map-side) aggregation before the exchange") {
+    val p = plan("q1_agg")
+    val firstHashAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstHashAgg >= 0 && exchange >= 0)
+    assert(p.indexOf("partial_sum") >= 0, "map-side partial aggregation expected")
+  }
+}
