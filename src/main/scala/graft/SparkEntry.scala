@@ -46,6 +46,7 @@ object SparkEntry {
     "q_lookup_cascade" -> ((s, d) => RelationalOps.lookupCascade(s, d)),
     "q_dedup_first" -> ((s, d) => RelationalOps.dedupFirstWins(s, d)),
     "q_fuzzy_match" -> ((s, d) => RelationalOps.fuzzyBestMatch(s, d)),
+    "q_window_agg" -> ((s, d) => RelationalOps.windowAgg(s, d)),
     // ---- training-data pipeline: dedup family ----
     "q_dedup_exact" -> ((s, d) => DedupOps.exact(s, d)),
     "q_minhash_sig" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
@@ -167,6 +168,11 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate, o_orderkey) AS rn
            FROM orders) WHERE rn = 1""",
+
+    "q_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
 
     "q_fuzzy_match" ->
       """WITH probes AS (SELECT DISTINCT string_split(lower(p_name), ' ')[1] AS probe FROM part),

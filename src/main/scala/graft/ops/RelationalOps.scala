@@ -125,6 +125,20 @@ object RelationalOps {
   /** TPC-H Q1-style pricing summary — the headline shuffle/agg shape
     * (partial aggregation map-side, one shuffle).
     */
+  /** Tumbling-window aggregation over the event stream table — the
+    * batch face of the streaming metrics query (same `window()` call
+    * Structured Streaming uses, so the plan is identical under
+    * `readStream`). One shuffle, map-side partial aggregation.
+    */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
