@@ -23,9 +23,12 @@ final class TagTree private (
     val attrValues: Array[Array[String]],
     val text: Array[String],        // text/comment payload
     val parent: Array[Int],
-    val end: Array[Int]) {          // exclusive end of subtree span
+    val end: Array[Int],            // exclusive end of subtree span
+    // node count — the backing arrays come straight from the builder
+    // (capacity >= size) to avoid 7 defensive copies per document
+    private val sizeN: Int) {
 
-  def size: Int = kind.length
+  def size: Int = sizeN
 
   @inline def isElem(i: Int): Boolean = kind(i) == TagTree.KElem
   @inline def isText(i: Int): Boolean = kind(i) == TagTree.KText
@@ -209,12 +212,6 @@ object TagTree {
     }
     HtmlTokenizer.tokenize(html, sink)
     while (b.sp > 0) { b.sp -= 1; b.ends(b.stack(b.sp)) = b.n }
-    new TagTree(java.util.Arrays.copyOf(b.kinds, b.n),
-      java.util.Arrays.copyOf(b.names, b.n),
-      java.util.Arrays.copyOf(b.ans, b.n),
-      java.util.Arrays.copyOf(b.avs, b.n),
-      java.util.Arrays.copyOf(b.texts, b.n),
-      java.util.Arrays.copyOf(b.parents, b.n),
-      java.util.Arrays.copyOf(b.ends, b.n))
+    new TagTree(b.kinds, b.names, b.ans, b.avs, b.texts, b.parents, b.ends, b.n)
   }
 }
