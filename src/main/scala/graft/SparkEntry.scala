@@ -47,6 +47,8 @@ object SparkEntry {
     "q_dedup_first" -> ((s, d) => RelationalOps.dedupFirstWins(s, d)),
     "q_fuzzy_match" -> ((s, d) => RelationalOps.fuzzyBestMatch(s, d)),
     "q_window_agg" -> ((s, d) => RelationalOps.windowAgg(s, d)),
+    "q_semi_join" -> ((s, d) => RelationalOps.semiJoin(s, d)),
+    "q_anti_join" -> ((s, d) => RelationalOps.antiJoin(s, d)),
     // ---- training-data pipeline: dedup family ----
     "q_dedup_exact" -> ((s, d) => DedupOps.exact(s, d)),
     "q_minhash_sig" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
@@ -168,6 +170,14 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate, o_orderkey) AS rn
            FROM orders) WHERE rn = 1""",
+
+    "q_semi_join" ->
+      """SELECT DISTINCT user_id FROM events
+         WHERE user_id IN (SELECT c_custkey FROM customer)""",
+
+    "q_anti_join" ->
+      """SELECT DISTINCT user_id FROM events
+         WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)""",
 
     "q_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

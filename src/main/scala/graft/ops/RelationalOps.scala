@@ -125,6 +125,25 @@ object RelationalOps {
   /** TPC-H Q1-style pricing summary — the headline shuffle/agg shape
     * (partial aggregation map-side, one shuffle).
     */
+  /** Left-semi join: distinct event users that ARE known customers
+    * (broadcast semi — the "seen set" shape of SURVEY §2.3).
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(col("user_id"))
+      .join(broadcast(t(spark, dir, "customer")),
+        col("user_id") === col("c_custkey"), "left_semi")
+      .distinct()
+
+  /** Left-anti join: distinct event users with NO supplier record —
+    * the pending-work / not-yet-committed shape used by the resume
+    * manifest (TableIO.pending) and dedup "unseen" filters.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(col("user_id"))
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("user_id") === col("s_suppkey"), "left_anti")
+      .distinct()
+
   /** Tumbling-window aggregation over the event stream table — the
     * batch face of the streaming metrics query (same `window()` call
     * Structured Streaming uses, so the plan is identical under
