@@ -137,23 +137,30 @@ object DedupOps {
     val edges = pairs.select(col("a").as("s"), col("b").as("t"))
       .union(pairs.select(col("b").as("s"), col("a").as("t")))
       .localCheckpoint(true)
-    var labels = edges.select(col("s").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
+    // round 0 folded into initialization: every node starts at the min
+    // of itself and its direct neighbors (one aggregation, no join)
+    var labels = edges.groupBy(col("s").as("doc_id"))
+      .agg(min(col("t")).as("nmin"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("component"))
       .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
+    // labels decrease monotonically, so sum(component) strictly drops
+    // until the fixpoint — an O(1)-row convergence probe instead of a
+    // full join-and-compare pass
+    var prevSum = labels.agg(sum(col("component"))).head.getLong(0)
+    var converged = false
+    while (!converged) {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("t"), col("component").as("tcomp")), Seq("t"))
         .groupBy(col("s").as("doc_id"))
         .agg(min(col("tcomp")).as("ncomp"))
-      val next = labels
+      labels = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("doc_id"), col("component").as("old")), Seq("doc_id"))
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+      val s = labels.agg(sum(col("component"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
     }
     labels
   }
