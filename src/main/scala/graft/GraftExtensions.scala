@@ -25,36 +25,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  private def inject(ext: SparkSessionExtensions, name: String, usage: String)(
-      builder: Seq[Expression] => Expression): Unit =
-    ext.injectFunction((FunctionIdentifier(name), info(name, usage),
-      builder: FunctionBuilder))
+  private def inject(ext: SparkSessionExtensions, name: String, arity: Int,
+                     usage: String)(builder: Seq[Expression] => Expression): Unit = {
+    val checked: FunctionBuilder = exprs => {
+      if (exprs.length != arity) throw new IllegalArgumentException(
+        s"$name requires $arity argument(s), got ${exprs.length}")
+      builder(exprs)
+    }
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage), checked))
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    inject(ext, "extract_main_text",
+    inject(ext, "extract_main_text", 2,
       "extract_main_text(html BINARY, charset STRING) - main-content text of an HTML page") {
       exprs => ExtractMainText(exprs.head, exprs(1))
     }
-    inject(ext, "normalize_for_comparison",
+    inject(ext, "normalize_for_comparison", 1,
       "normalize_for_comparison(s STRING) - NFKD, combining marks stripped, uppercased") {
       exprs => NormalizeForComparison(exprs.head)
     }
-    inject(ext, "vec_dot",
+    inject(ext, "vec_dot", 2,
       "vec_dot(a ARRAY<FLOAT|DOUBLE>, b ARRAY<FLOAT|DOUBLE>) - left-to-right double dot product") {
       exprs => VecDot(exprs.head, exprs(1))
     }
-    inject(ext, "minhash_sigs",
+    inject(ext, "minhash_sigs", 2,
       "minhash_sigs(text STRING, k INT) - k word-3-gram minhash values (16-hex-char each)") {
-      exprs =>
-        val k = exprs(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"minhash_sigs: k must be an integer literal, got $other")
-        }
-        MinHashSigs(exprs.head, k)
+      MinHashFunctions.buildFromExprs
     }
-    inject(ext, "shingle_jaccard",
+    inject(ext, "shingle_jaccard", 2,
       "shingle_jaccard(a STRING, b STRING) - exact word-3-gram jaccard similarity") {
       exprs => ShingleJaccard(exprs.head, exprs(1))
     }

@@ -44,10 +44,9 @@ object SkewBench {
           giantParagraphs = giantParas).page)
         .write.mode("overwrite").parquet(inputDir)
     }
-    // giants collide: rewrite into few big files so the naive run cannot
-    // be rescued by parquet split granularity — both modes then start
-    // from the same coarse scan and the repartition strategy is the
-    // only difference
+    // both modes read the same parquet and then explicitly repartition,
+    // so the partitioning strategy — not scan split granularity — is the
+    // only difference between them
     val pages = spark.read.parquet(inputDir).as[PageRow]
 
     // warm-up (JIT), not timed

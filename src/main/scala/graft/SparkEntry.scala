@@ -176,8 +176,8 @@ object SparkEntry {
          WHERE user_id IN (SELECT c_custkey FROM customer)""",
 
     "q_anti_join" ->
-      """SELECT DISTINCT user_id FROM events
-         WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)""",
+      """SELECT DISTINCT user_id FROM events e
+         WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)""",
 
     "q_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -77,23 +77,22 @@ object GraftFunctions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "extract_main_text", exprs => ExtractMainText(exprs.head, exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "normalize_for_comparison", exprs => NormalizeForComparison(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "shingle_jaccard", exprs => ShingleJaccard(exprs.head, exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "minhash_sigs", exprs => {
-        val k = exprs(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"minhash_sigs: k must be an integer literal, got $other")
-        }
-        MinHashSigs(exprs.head, k)
-      }, "scala_udf")
+    def withArity(name: String, arity: Int)(
+        b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+      exprs => {
+        if (exprs.length != arity) throw new IllegalArgumentException(
+          s"$name requires $arity argument(s), got ${exprs.length}")
+        b(exprs)
+      }
+    reg.createOrReplaceTempFunction("extract_main_text",
+      withArity("extract_main_text", 2)(e => ExtractMainText(e.head, e(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("normalize_for_comparison",
+      withArity("normalize_for_comparison", 1)(e => NormalizeForComparison(e.head)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot",
+      withArity("vec_dot", 2)(e => VecDot(e.head, e(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_jaccard",
+      withArity("shingle_jaccard", 2)(e => ShingleJaccard(e.head, e(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sigs",
+      withArity("minhash_sigs", 2)(MinHashFunctions.buildFromExprs), "scala_udf")
   }
 }

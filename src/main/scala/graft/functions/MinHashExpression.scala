@@ -65,7 +65,6 @@ case class MinHashSigs(child: Expression, numHashes: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val words = text.split(" ", -1)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val md = mdLocal.get()
@@ -85,16 +84,7 @@ case class MinHashSigs(child: Expression, numHashes: Int)
       }
     }
 
-    if (words.length >= 3) {
-      val sb = new java.lang.StringBuilder()
-      var i = 0
-      while (i + 2 < words.length) {
-        sb.setLength(0)
-        sb.append(words(i)).append(' ').append(words(i + 1)).append(' ').append(words(i + 2))
-        absorb(sb.toString)
-        i += 1
-      }
-    } else absorb(text)
+    Shingling.foreach(text)(absorb)
 
     val out = new Array[Any](numHashes)
     var k = 0
@@ -109,7 +99,46 @@ case class MinHashSigs(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** The ONE word-3-gram shingling rule, shared by LSH candidate
+  * generation ([[MinHashSigs]]) and exact verification
+  * ([[ShingleJaccard]]) — the two must shingle identically for
+  * LSH-then-verify dedup to be sound. Split on single space (trailing
+  * empties kept, mirroring Spark `split(text, ' ')` and DuckDB
+  * `string_split`), 3-word windows joined by ' ', whole text when
+  * <3 words.
+  */
+private[functions] object Shingling {
+  def foreach(text: String)(f: String => Unit): Unit = {
+    val words = text.split(" ", -1)
+    if (words.length >= 3) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + 2 < words.length) {
+        sb.setLength(0)
+        sb.append(words(i)).append(' ').append(words(i + 1)).append(' ').append(words(i + 2))
+        f(sb.toString)
+        i += 1
+      }
+    } else f(text)
+  }
+}
+
 object MinHashFunctions {
   def minhash_sigs(text: Column, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSigs(GraftSqlBridge.expression(text), numHashes))
+
+  /** SQL builder shared by the session registry and the
+    * SparkSessionExtensions path: arity check + integer-literal k.
+    */
+  def buildFromExprs(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"minhash_sigs requires 2 arguments (text, k), got ${exprs.length}")
+    val k = exprs(1).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"minhash_sigs: k must be an integer literal, got $other")
+    }
+    MinHashSigs(exprs.head, k)
+  }
 }

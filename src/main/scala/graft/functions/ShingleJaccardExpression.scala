@@ -32,18 +32,8 @@ case class ShingleJaccard(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires two string columns")
 
   private def shingleSet(text: String): java.util.HashSet[String] = {
-    val words = text.split(" ", -1)
     val set = new java.util.HashSet[String]()
-    if (words.length >= 3) {
-      val sb = new java.lang.StringBuilder()
-      var i = 0
-      while (i + 2 < words.length) {
-        sb.setLength(0)
-        sb.append(words(i)).append(' ').append(words(i + 1)).append(' ').append(words(i + 2))
-        set.add(sb.toString)
-        i += 1
-      }
-    } else set.add(text)
+    Shingling.foreach(text)(s => { set.add(s); () })
     set
   }
 

@@ -40,41 +40,49 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       s"$prettyName requires array<float|double> inputs, got (${left.dataType}, ${right.dataType})")
   }
 
-  @inline private def get(a: ArrayData, i: Int, et: DataType): Double = et match {
-    case FloatType => a.getFloat(i).toDouble
-    case _ => a.getDouble(i)
-  }
+  @transient private lazy val leftIsFloat = elemType(left) == FloatType
+  @transient private lazy val rightIsFloat = elemType(right) == FloatType
 
+  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  // NULL semantics match the aggregate(zip_with(...)) form this
+  // replaces: mismatched lengths (zip_with pads with null) or any null
+  // element poison the fold → result is NULL
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    val (lt, rt) = (elemType(left), elemType(right))
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += get(a, i, lt) * get(b, i, rt)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += get(a, i, leftIsFloat) * get(b, i, rightIsFloat)
       i += 1
     }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def getter(v: String, i: String, et: DataType): String = et match {
-      case FloatType => s"(double) $v.getFloat($i)"
-      case _ => s"$v.getDouble($i)"
-    }
+    def getter(v: String, i: String, isFloat: Boolean): String =
+      if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${getter(a, i.toString, elemType(left))} * ${getter(b, i.toString, elemType(right))};
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else { $s += ${getter(a, i, leftIsFloat)} * ${getter(b, i, rightIsFloat)}; }
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

@@ -146,8 +146,14 @@ object DedupOps {
     // labels decrease monotonically, so sum(component) strictly drops
     // until the fixpoint — an O(1)-row convergence probe instead of a
     // full join-and-compare pass
-    var prevSum = labels.agg(sum(col("component"))).head.getLong(0)
-    var converged = false
+    def labelSum(): Long = {
+      // sum() over zero rows is NULL — empty candidate set must yield an
+      // empty component table, not an NPE
+      val r = labels.agg(sum(col("component"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum()
+    var converged = labels.isEmpty
     while (!converged) {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("t"), col("component").as("tcomp")), Seq("t"))
@@ -158,7 +164,7 @@ object DedupOps {
         .select(col("doc_id"),
           least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
         .localCheckpoint(true)
-      val s = labels.agg(sum(col("component"))).head.getLong(0)
+      val s = labelSum()
       converged = s == prevSum
       prevSum = s
     }

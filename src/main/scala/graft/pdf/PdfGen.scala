@@ -49,7 +49,15 @@ object PdfGen {
           }
         val (chunk, tail) = rest.splitAt(cut)
         if (!firstChunk) sb.append("12 0 Td\n") // horizontal move: same line
-        sb.append('(').append(escape(chunk)).append(") Tj\n")
+        if (chunk.exists(_ > 0xFF)) {
+          // non-Latin-1 text: PDF-spec UTF-16BE hex string with BOM
+          val b = chunk.getBytes(StandardCharsets.UTF_16BE)
+          sb.append("<FEFF")
+          b.foreach(x => sb.append(f"${x & 0xff}%02X"))
+          sb.append("> Tj\n")
+        } else {
+          sb.append('(').append(escape(chunk)).append(") Tj\n")
+        }
         firstChunk = false
         rest = tail
       }

@@ -108,8 +108,8 @@ object PdfTextExtractor {
   }
 
   private def inflate(raw: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
     try {
-      val inf = new Inflater()
       inf.setInput(raw)
       val buf = new Array[Byte](8192)
       val out = new java.io.ByteArrayOutputStream()
@@ -118,9 +118,9 @@ object PdfTextExtractor {
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return Some(out.toByteArray) // truncated
       }
-      inf.end()
       Some(out.toByteArray)
     } catch { case _: Exception => None }
+    finally inf.end() // native zlib memory — do not wait for the finalizer
   }
 
   // ---- content-stream interpreter ----
@@ -220,7 +220,6 @@ object PdfTextExtractor {
 
     private def hexString(): String = {
       i += 1 // '<'
-      val sb = new StringBuilder
       val digits = new StringBuilder
       while (!eof && peek != '>') {
         val c = peek
@@ -229,12 +228,18 @@ object PdfTextExtractor {
       }
       if (!eof) i += 1 // '>'
       if (digits.length % 2 == 1) digits.append('0')
+      val bytes = new Array[Byte](digits.length / 2)
       var k = 0
       while (k + 2 <= digits.length) {
-        sb.append(Integer.parseInt(digits.substring(k, k + 2), 16).toChar)
+        bytes(k / 2) = Integer.parseInt(digits.substring(k, k + 2), 16).toByte
         k += 2
       }
-      sb.toString
+      // PDF text strings: UTF-16BE when the BOM leads, else per-byte
+      // (PDFDocEncoding ≈ Latin-1 for the printable range)
+      if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
+        new String(bytes, 2, bytes.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+      else
+        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     }
   }
 

@@ -19,6 +19,17 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("non-Latin-1 text roundtrips via UTF-16BE hex strings") {
+    val lines = Seq(
+      "em dash — and curly “quotes” survive",
+      "mixed ascii and 中文 characters",
+      "plain ascii line")
+    for (flate <- Seq(false, true)) {
+      val bytes = PdfGen.pdf(lines, flate)
+      assert(PdfTextExtractor.extractText(bytes) == lines.mkString("\n"), s"flate=$flate")
+    }
+  }
+
   test("content interpreter: TJ arrays, hex strings, quotes, escapes, octal") {
     val content =
       """BT

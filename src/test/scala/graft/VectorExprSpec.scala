@@ -37,6 +37,22 @@ class VectorExprSpec extends AnyFunSuite {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("VecDot NULL semantics match the HOF form: null element and length mismatch") {
+    val df = spark.sql(
+      """SELECT array(CAST(1.0 AS DOUBLE), NULL) AS ne,
+                array(CAST(1.0 AS DOUBLE)) AS short,
+                array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS full""")
+    def hof(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    def native(a: String, b: String) =
+      graft.functions.VectorFunctions.vec_dot(col(a), col(b))
+    val r = df.select(
+      hof("ne", "full"), native("ne", "full"),
+      hof("short", "full"), native("short", "full")).head
+    assert(r.isNullAt(0) && r.isNullAt(1), "null element -> NULL on both")
+    assert(r.isNullAt(2) && r.isNullAt(3), "length mismatch -> NULL on both")
+  }
+
   test("MinHashSigs == min(substr(md5(k:shingle),1,16)) over exploded shingles") {
     import spark.implicits._
     val texts = Seq(
