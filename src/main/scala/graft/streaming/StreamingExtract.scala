@@ -49,6 +49,51 @@ object StreamingExtract {
     q.awaitTermination()
   }
 
+  /** First-seen streaming dedup across micro-batches: per-url state via
+    * `flatMapGroupsWithState` (`KeyValueGroupedDataset` custom state) —
+    * a url is emitted the first time it appears and suppressed on every
+    * later arrival, across batches and across restarts (state lives in
+    * the checkpoint). The crawl-recrawl dedup shape: at cluster scale
+    * state is HDFS/RocksDB-backed and partitioned by the group key.
+    */
+  def dedupStream(pages: Dataset[PageRow]): Dataset[PageRow] = {
+    import pages.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    pages
+      .groupByKey(_.url)
+      .flatMapGroupsWithState[Boolean, PageRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[PageRow], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // url already emitted earlier
+          else {
+            state.update(true)
+            rows.take(1) // first occurrence within this batch wins
+          }
+      }
+  }
+
+  /** Incremental extraction with cross-batch url dedup: dedupStream →
+    * extractor → parquet sink, exactly-once via the checkpoint.
+    */
+  def runDedupAvailableNow(spark: SparkSession, sourceDir: String, sinkDir: String,
+                           checkpointDir: String, charset: String = "utf-8"): Unit = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(pageSchema)
+      .parquet(sourceDir)
+      .as[PageRow]
+    val extracted = dedupStream(pages).mapPartitions(it =>
+      it.map(p => ExtractPipeline.extractOne(p, charset)))
+    val q: StreamingQuery = extracted.writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Windowed per-language extraction-rate metrics over the stream —
     * watermark + tumbling window aggregation (the streaming metrics
     * analog of the per-partition lineage rows).

@@ -32,6 +32,27 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     fixtures.foreach(f => assert(got(f.page.url) == f.expectedText, f.page.url))
   }
 
+  test("flatMapGroupsWithState dedup: repeated urls suppressed across micro-batches") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    val fixtures = WebCorpus.generate(12)
+
+    // batch 1: 8 pages, two of them written twice (in-batch dups)
+    spark.createDataset((fixtures.take(8) ++ fixtures.slice(0, 2)).map(_.page))
+      .write.mode("append").parquet(src)
+    StreamingExtract.runDedupAvailableNow(spark, src, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == 8) // in-batch dups suppressed
+
+    // batch 2: 4 new pages + 3 re-crawls of batch-1 urls
+    spark.createDataset((fixtures.drop(8) ++ fixtures.slice(2, 5)).map(_.page))
+      .write.mode("append").parquet(src)
+    StreamingExtract.runDedupAvailableNow(spark, src, sink, ckpt)
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 12) // cross-batch recrawls suppressed via state
+    assert(out.select("url").distinct().count() == 12)
+  }
+
   test("extract_main_text expression: Column and SQL surfaces agree with pipeline") {
     import spark.implicits._
     val fixtures = WebCorpus.generate(10)
