@@ -25,6 +25,7 @@ object SparkEntry {
     "q_extract_expr" -> ((s, d) => ExtractOps.roundtripExpr(s, d)),
     "q_pdf_roundtrip" -> ((s, d) => ExtractOps.pdfRoundtrip(s, d)),
     "q_extract_spans" -> ((s, d) => ExtractOps.spansRoundtrip(s, d)),
+    "q_corpus_stats" -> ((s, d) => ExtractOps.corpusStats(s, d)),
     "q_web_pipeline" -> ((s, _) => ExtractOps.webCorpus(s, 300, 32)),
     // ---- multimodal binary columns (decode stub, real plumbing) ----
     "q_media_decode" -> ((s, d) => MultimodalOps.decodeQuery(s, d)),
@@ -78,6 +79,11 @@ object SparkEntry {
 
     "q_pdf_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+
+    "q_corpus_stats" ->
+      """SELECT count(*) AS n_docs, count(*) AS n_parse_ok,
+         CAST(sum(length(text)) AS BIGINT) AS total_text_chars
+         FROM documents""",
 
     "q_extract_spans" ->
       """SELECT doc_id,

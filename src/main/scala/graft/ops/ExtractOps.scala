@@ -86,6 +86,19 @@ object ExtractOps {
         col("text"))
   }
 
+  /** Corpus-level extraction stats via the typed
+    * [[graft.pipeline.ExtractStatsAggregator]] (map-side partial merge,
+    * one reduced row). The text-chars total is oracle-checkable because
+    * the roundtrip is byte-identical: sum(text_chars) == sum(length(text)).
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = documentsAsPages(spark, dir)
+    ExtractPipeline.run(pages, charset = "utf-8")
+      .select(graft.pipeline.ExtractStatsAggregator.toColumn)
+      .toDF() // Dataset[CorpusStats] → (n_docs, n_parse_ok, total_text_chars)
+  }
+
   /** Deterministic structured page for the span-extraction roundtrip:
     * title + meta + two headings + a 3-row key/value table + body text.
     */
