@@ -171,6 +171,70 @@ object DedupOps {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the worst-case scale path for adversarial long-chain
+    * graphs where plain min-label propagation needs O(diameter) rounds;
+    * star contraction converges in O(log^2 n). Input: undirected edge
+    * list (a, b); output: (doc_id, component=min reachable id).
+    *
+    * large-star: every node's LARGER neighbors link to its current
+    * minimum neighbor (or itself); small-star: smaller-or-equal
+    * neighbors link to the minimum. Both are one groupBy each; the
+    * fixpoint test is the same monotone edge-sum probe as
+    * [[lshConnectedComponents]].
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // canonical parent forest as an edge list (child, parent), child > parent
+    var edges = pairs.select(
+      greatest(col("a"), col("b")).as("u"),
+      least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def edgeSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("u") + col("v"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+
+    var prev = -1L
+    var cur = edgeSum(edges)
+    var rounds = 0
+    while (cur != prev && rounds < 64) {
+      rounds += 1
+      // large-star: for each u over BOTH orientations, attach strictly
+      // larger neighbors to min(neighbors ∪ {u})
+      val nbrs = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val mins = nbrs.groupBy(col("x")).agg(least(min(col("y")), first(col("x"))).as("m"))
+      val large = nbrs.join(mins, Seq("x"))
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: attach u and its smaller-or-equal neighbors to the min
+      val nbrs2 = large.select(col("u").as("x"), col("v").as("y"))
+      val mins2 = nbrs2.groupBy(col("x")).agg(min(col("y")).as("m"))
+      val small = nbrs2.join(mins2, Seq("x"))
+        .select(col("y").as("a"), col("m").as("b")) // link neighbor → min
+        .union(nbrs2.join(mins2, Seq("x")).select(col("x").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      edges = small
+      prev = cur
+      cur = edgeSum(edges)
+    }
+    // the forest is now star-shaped: (u, v) with v the component min
+    edges.select(col("u").as("doc_id"), col("v").as("component"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("component")))
+      .distinct()
+  }
+
   /** Embedding-cosine near-dup: banded SRP-LSH candidates (linear, never
     * all-pairs), exact cosine on candidates only, then each duplicate is
     * attributed to its lowest-id kept representative. Output one row per

@@ -74,6 +74,44 @@ final class TableIO(root: String) {
       case Some(committed) =>
         input.join(committed.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     }
+
+  /** `MERGE INTO`-shaped upsert (Iceberg's idempotent-sink analog, the
+    * Neo4j `UNWIND…MERGE` replacement of SURVEY §2.1 S5): committed rows
+    * whose key collides with `updates` are replaced, new keys appended.
+    * Implemented as survivors (committed anti-join updates) + updates,
+    * written as a full replacement snapshot — a re-run with identical
+    * input converges to the identical table (idempotent).
+    */
+  def mergeByKey(updates: DataFrame, keyCol: String): Snapshot = {
+    val merged = readTable(updates.sparkSession) match {
+      case None => updates
+      case Some(committed) =>
+        val survivors = committed.join(
+          updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        survivors.unionByName(updates)
+    }
+    replaceWith(merged)
+  }
+
+  /** Replace the whole table content with `df` as a single new snapshot
+    * (Iceberg `overwritePartitions` analog). Earlier snapshot dirs stay
+    * on disk for rollback; the manifest only references the new one.
+    */
+  def replaceWith(df: DataFrame): Snapshot = {
+    Files.createDirectories(Paths.get(root))
+    val prev = snapshots()
+    val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
+    val dir = s"snap-$id"
+    // materialize BEFORE truncating the manifest: df may read prior snapshots
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dir")
+    val rows = df.sparkSession.read.parquet(s"$root/$dir").count()
+    val line = s"""{"id":$id,"dir":"$dir","rows":$rows}""" + "\n"
+    val tmp = Paths.get(root, ".manifest.tmp")
+    Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    Snapshot(id, dir, rows)
+  }
 }
 
 object TableIO {

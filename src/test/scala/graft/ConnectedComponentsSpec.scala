@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Star-contraction CC must agree with min-label propagation on every
+  * graph shape — including the long chains that are propagation's
+  * worst case and star contraction's reason to exist.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def refComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val real = pairs.filter(p => p._1 != p._2) // self-loops carry no info
+    real.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = real.flatMap(p => Seq(p._1, p._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def check(pairs: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val df = pairs.toDF("a", "b")
+    val got = graft.ops.DedupOps.connectedComponentsStar(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refComponents(pairs)
+    assert(got == want, s"pairs=$pairs")
+  }
+
+  test("long chain (propagation worst case)") {
+    check((0L until 40L).map(i => (i, i + 1)))
+  }
+
+  test("two cliques plus a bridge, reversed ids") {
+    val c1 = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (j, i)
+    val c2 = for (i <- 20L to 24L; j <- (i + 1) to 24L) yield (i, j)
+    check(c1 ++ c2 ++ Seq((14L, 20L)))
+  }
+
+  test("singleton edges, self-contained pairs, star") {
+    check(Seq((5L, 9L), (100L, 3L), (7L, 7L), (50L, 51L), (51L, 52L), (52L, 50L)))
+  }
+
+  test("random graphs agree with union-find") {
+    val rnd = new scala.util.Random(99)
+    (1 to 5).foreach { _ =>
+      val n = 30
+      val pairs = (1 to 40).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      check(pairs)
+    }
+  }
+}

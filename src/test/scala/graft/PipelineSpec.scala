@@ -102,6 +102,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(fresh.sameElements(resumed))
   }
 
+  test("mergeByKey: MERGE INTO-shaped upsert is idempotent and keeps rollback snapshots") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val io = new TableIO(root)
+    io.appendSnapshot(Seq(("u1", 1), ("u2", 2), ("u3", 3)).toDF("key", "v"))
+
+    // update u2, insert u4
+    val updates = Seq(("u2", 20), ("u4", 40)).toDF("key", "v")
+    io.mergeByKey(updates, "key")
+    def table(): Map[String, Int] = io.readTable(spark).get
+      .as[(String, Int)].collect().toMap
+    assert(table() == Map("u1" -> 1, "u2" -> 20, "u3" -> 3, "u4" -> 40))
+
+    // idempotent: merging the identical updates converges to the same table
+    io.mergeByKey(updates, "key")
+    assert(table() == Map("u1" -> 1, "u2" -> 20, "u3" -> 3, "u4" -> 40))
+
+    // earlier snapshot dirs survive on disk for rollback
+    assert(new java.io.File(s"$root/snap-1").exists())
+    assert(io.snapshots().length == 1) // manifest references only the live one
+  }
+
   test("entry flagship returns rows on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
