@@ -353,17 +353,24 @@ object SparkEntry {
          FROM scored) WHERE rn <= 5"""
   }
 
+  /** planesPerBand(n, 8) in portable SQL — must mirror
+    * [[graft.ops.SimilarityOps.planesPerBand]] exactly (same epsilon).
+    */
+  private val ppbSql: String =
+    "greatest(4, CAST(ceil(log2(count(*) / 8.0) - 1e-9) AS INT))"
+
   private val annLshOracle: String = {
     val dotAB = dotSql.format("va", "vb")
     val dotAA = dotSql.format("va", "va")
     val dotBB = dotSql.format("vb", "vb")
-    s"""WITH planes AS (
+    s"""WITH np AS (SELECT greatest(8, $ppbSql) AS n FROM embeddings),
+       planes AS (
          SELECT p,
                 list_transform(generate_series(0, 63),
                   j -> CASE WHEN substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)),
                                         (j % 16) + 1, 1) >= '8'
                             THEN 1.0 ELSE -1.0 END) AS w
-         FROM generate_series(0, 7) t1(p)),
+         FROM generate_series(0, 127) t1(p), np WHERE p < np.n),
        proj AS (
          SELECT e.vec_id, pl.p,
                 list_sum(list_transform(generate_series(1, 64),
@@ -407,8 +414,10 @@ object SparkEntry {
   private val ivfOracle: String = {
     val cosEC = s"round(${dotSql.format("e.embedding", "c.cvec")} / (sqrt(${dotSql.format("e.embedding", "e.embedding")}) * sqrt(${dotSql.format("c.cvec", "c.cvec")})), 6)"
     val cosQA = s"round(${dotSql.format("p.qvec", "a.embedding")} / (sqrt(${dotSql.format("p.qvec", "p.qvec")}) * sqrt(${dotSql.format("a.embedding", "a.embedding")})), 6)"
-    s"""WITH cents AS (
-         SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
+    s"""WITH st AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
+       cents AS (
+         SELECT vec_id AS cent_id, embedding AS cvec
+         FROM embeddings, st WHERE vec_id % st.stride = 0),
        sc AS (
          SELECT e.vec_id, e.embedding, c.cent_id, $cosEC AS ccos
          FROM embeddings e CROSS JOIN cents c),
@@ -432,22 +441,23 @@ object SparkEntry {
 
   private val embedNearDupOracle: String = {
     val cosAB = s"round(${dotSql.format("ea.embedding", "eb.embedding")} / (sqrt(${dotSql.format("ea.embedding", "ea.embedding")}) * sqrt(${dotSql.format("eb.embedding", "eb.embedding")})), 6)"
-    s"""WITH planes AS (
+    s"""WITH nn AS (SELECT $ppbSql AS ppb FROM embeddings),
+       planes AS (
          SELECT p,
                 list_transform(generate_series(0, 63),
                   j -> CASE WHEN substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)),
                                         (j % 16) + 1, 1) >= '8'
                             THEN 1.0 ELSE -1.0 END) AS w
-         FROM generate_series(0, 7) t1(p)),
+         FROM generate_series(0, 127) t1(p), nn WHERE p < 4 * nn.ppb),
        proj AS (
          SELECT e.vec_id, pl.p,
                 list_sum(list_transform(generate_series(1, 64),
                   i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) AS dp
          FROM embeddings e CROSS JOIN planes pl),
        buckets AS (
-         SELECT vec_id, p // 4 AS band,
+         SELECT vec_id, p // nn.ppb AS band,
                 string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-         FROM proj GROUP BY vec_id, p // 4),
+         FROM proj, nn GROUP BY vec_id, p // nn.ppb),
        pairs AS (
          SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
          FROM buckets l JOIN buckets r USING (band, bucket)

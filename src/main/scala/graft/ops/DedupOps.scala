@@ -235,17 +235,27 @@ object DedupOps {
       .distinct()
   }
 
-  /** Embedding-cosine near-dup: banded SRP-LSH candidates (linear, never
-    * all-pairs), exact cosine on candidates only, then each duplicate is
-    * attributed to its lowest-id kept representative. Output one row per
-    * dropped vector: (doc_id, dup_of).
+  /** Embedding-cosine near-dup: banded SRP-LSH candidates (bare id
+    * pairs — linear, never all-pairs, nothing but ids shuffled through
+    * candidate dedup), then the embeddings table is re-joined ONLY for
+    * the surviving candidates and exact cosine verified per pair. Each
+    * duplicate is attributed to its lowest-id kept representative.
+    * Output one row per dropped vector: (doc_id, dup_of).
     */
   def embeddingNearDups(spark: SparkSession, dir: String,
-                        minCos: Double = 0.4): DataFrame =
+                        minCos: Double = 0.4): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        SimilarityOps.norm(col("embedding")).as("n"))
     SimilarityOps.bandedSrpPairs(spark, dir)
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("va"),
+        col("n").as("na")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb"),
+        col("n").as("nb")), Seq("b"))
       .withColumn("cos",
         round(SimilarityOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= minCos)
       .groupBy(col("b").as("doc_id"))
       .agg(min(col("a")).as("dup_of"))
+  }
 }

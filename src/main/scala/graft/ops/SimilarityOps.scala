@@ -68,6 +68,23 @@ object SimilarityOps {
     if (Character.digit(block.charAt(j % 16), 16) >= 8) 1 else -1
   }
 
+  /** Planes per SRP band as a function of corpus size: the smallest p
+    * with 2^p >= n / targetOccupancy (floor 4). Bucket count then grows
+    * WITH the corpus, so expected bucket occupancy stays bounded and
+    * within-bucket pair generation stays linear — a fixed bucket count
+    * is an all-pairs join in disguise at 10^12 rows (each bucket's
+    * population, hence its pair count, grows quadratically with n).
+    *
+    * The tiny epsilon keeps `ceil` stable against the 1-ulp difference
+    * between JVM `log(x)/log(2)` and the oracle's native `log2(x)`:
+    * n/8.0 is exact in binary, and log2 of it only lands within 1e-9 of
+    * an integer at exact powers of two, where both engines are exact.
+    */
+  def planesPerBand(n: Long, targetOccupancy: Int = 8): Int = {
+    val raw = math.log(n.toDouble / targetOccupancy) / math.log(2.0)
+    math.max(4, math.ceil(raw - 1e-9).toInt)
+  }
+
   /** Sign-random-projection bucket column over `nPlanes` hyperplanes
     * with plane indices [firstPlane, firstPlane + nPlanes).
     */
@@ -85,10 +102,14 @@ object SimilarityOps {
   /** Bucket key: for each of `nPlanes` hyperplanes, the sign bit of
     * dot(embedding, plane). Vectors in the same bucket are candidate
     * neighbors; exact cosine is computed within buckets only.
+    * `nPlanes` scales with corpus size (floor 8) so bucket occupancy —
+    * and with it the within-bucket pair count — stays bounded as the
+    * corpus grows (see [[planesPerBand]]).
     */
   def lshBucketedNeighbors(spark: SparkSession, dir: String,
-                           nPlanes: Int = 8, minCos: Double = 0.2): DataFrame = {
+                           minCos: Double = 0.2): DataFrame = {
     val e = emb(spark, dir)
+    val nPlanes = math.max(8, planesPerBand(e.count()))
     val withBucket = e.withColumn("bucket", srpBucket(nPlanes))
       .withColumn("n", norm(col("embedding")))
     val l = withBucket.select(col("bucket"), col("vec_id").as("a"),
@@ -103,58 +124,72 @@ object SimilarityOps {
   }
 
   /** Banded SRP-LSH candidate pairs: `nBands` independent bucket tables
-    * of `planesPerBand` planes each; a pair is a candidate if it
-    * collides in ANY band (higher recall than one wide bucket, still
-    * linear candidate generation — the 10^12-row scale path).
+    * of [[planesPerBand]] planes each (derived from corpus size so
+    * expected bucket occupancy stays bounded — the scale path); a pair
+    * is a candidate if it collides in ANY band.
+    *
+    * Returns BARE id pairs (a, b): the self-join and the distinct both
+    * run on (band, bucket, id) rows only — no embedding arrays are ever
+    * shuffled here. Callers that need exact similarity re-join the
+    * embeddings table for the surviving candidates (per-candidate work,
+    * ≪ corpus; see [[graft.ops.DedupOps.embeddingNearDups]]).
     */
   def bandedSrpPairs(spark: SparkSession, dir: String,
-                     nBands: Int = 2, planesPerBand: Int = 4): DataFrame = {
+                     nBands: Int = 4, targetOccupancy: Int = 8): DataFrame = {
     val e = emb(spark, dir)
+    val ppb = planesPerBand(e.count(), targetOccupancy)
     val bandStructs = (0 until nBands).map { b =>
-      struct(lit(b).as("band"), srpBucket(planesPerBand, b * planesPerBand).as("bucket"))
+      struct(lit(b).as("band"), srpBucket(ppb, b * ppb).as("bucket"))
     }
-    val banded = e.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("n"),
-      explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("n"),
-        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("vec_id").as("a"),
-      col("embedding").as("va"), col("n").as("na"))
-    val r = banded.select(col("band"), col("bucket"), col("vec_id").as("b"),
-      col("embedding").as("vb"), col("n").as("nb"))
+    val banded = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("vec_id").as("a"))
+    val r = banded.select(col("band"), col("bucket"), col("vec_id").as("b"))
     // identical subplans on both sides → one ReusedExchange bucket pass
     l.hint("merge").join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("va"), col("vb"), col("na"), col("nb"))
-      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"))
+      .distinct()
   }
 
-  /** IVF-style ANN: deterministic coarse centroids (every `centStride`-th
-    * vector), each vector assigned to its nearest centroid (one broadcast
-    * nested-loop against K centroids — K ≪ corpus, linear cost), queries
-    * probe their `nProbe` nearest cells and search exactly within them.
-    * At cluster scale the assignment shuffle partitions the corpus by
-    * cell, so each probe touches ~nProbe/K of the data.
+  /** IVF-style ANN with a FIXED centroid count: `nCentroids` vectors
+    * sampled deterministically by id stride (stride = n / nCentroids, so
+    * K stays constant as the corpus grows — K growing with n would make
+    * the assignment cross-join quadratic and the centroid broadcast
+    * unbounded). Each vector is assigned to its nearest centroid via a
+    * `max_by` aggregation — map-side partial agg, no window shuffle+sort
+    * of the N×K scored rows. Queries probe their `nProbe` nearest cells
+    * (a separate nQueries×K cross-join — tiny) and search exactly within
+    * them. At cluster scale the assignment shuffle partitions the corpus
+    * by cell, so each probe touches ~nProbe/K of the data.
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
-              centStride: Int = 50, nProbe: Int = 2): DataFrame = {
+              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
     val e = emb(spark, dir).withColumn("en", norm(col("embedding")))
-    val centroids = e.filter(col("vec_id") % centStride === 0)
+    val stride = math.max(1L, e.count() / nCentroids)
+    val centroids = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         col("en").as("cn"))
-    // nearest-centroid assignment (rank 1 per vector, deterministic ties);
     // norms precomputed per side — one dot per (vector, centroid)
-    val scoredCells = e.crossJoin(broadcast(centroids))
-      .withColumn("ccos",
-        round(dot(col("embedding"), col("cvec")) / (col("en") * col("cn")), 6))
-    val wAssign = Window.partitionBy(col("vec_id"))
+    val ccos = round(dot(col("embedding"), col("cvec")) / (col("en") * col("cn")), 6)
+    // nearest-centroid assignment: max ccos, ties to the smallest
+    // cent_id — same result as rank-1 over (ccos desc, cent_id asc) but
+    // with map-side partial aggregation instead of a full shuffle+sort
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("ccos", ccos)
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("nc"))).as("cent_id"),
+        first(col("embedding")).as("embedding"),
+        first(col("en")).as("en"))
+    // probes: only the query rows cross the centroids (nQueries×K rows);
+    // the window here sorts that tiny set, never the full corpus
+    val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
-    val assigned = scoredCells.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("en"), col("cent_id"))
-    // queries probe their nProbe nearest cells
-    val probes = scoredCells.filter(col("vec_id") < nQueries)
-      .withColumn("rn", row_number().over(wAssign))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", ccos)
+      .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("en").as("qn"), col("cent_id"))
