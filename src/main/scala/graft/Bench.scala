@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main: one JSON line with per-query best-of-N
+  * walls, row counts, and rows/sec. A query that throws is recorded in
+  * `failed` and its wall reported as -1 — a failure can never shadow a
+  * regression by logging a fast bogus wall.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,18 +18,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // best-of-2 per query: the sandbox VM sees transient CPU steal and
     // the first run pays JIT; the min is the least-polluted measurement
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val walls = (1 to 2).map { _ =>
+    final case class QueryResult(wall: Double, rows: Long, failed: Boolean)
+    val results: Map[String, QueryResult] = SparkEntry.queries.map { case (name, fn) =>
+      val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          val rows = fn(spark, sfDir).count()
+          Some(((System.nanoTime() - t0) / 1e9, rows))
+        } catch { case _: Throwable => None }
       }
-      name -> walls.min
+      val ok = reps.flatten
+      name -> (if (ok.isEmpty) QueryResult(-1.0, 0L, failed = true)
+               else QueryResult(ok.map(_._1).min, ok.head._2, failed = false))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: QueryResult => String): String =
+      results.map { case (k, v) => s"\"$k\":${f(v)}" }.mkString("{", ",", "}")
+    val qs = jmap(_.wall.toString)
+    val rows = jmap(_.rows.toString)
+    val rps = jmap(r => if (r.failed || r.wall <= 0) "0"
+                        else (r.rows / r.wall).round.toString)
+    val failed = results.collect { case (k, r) if r.failed => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filterNot(_.failed).map(_.wall).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"rows_per_sec":$rps,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

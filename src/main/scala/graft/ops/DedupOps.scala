@@ -128,12 +128,29 @@ object DedupOps {
     * converges in O(cluster diameter) rounds (dup clusters are
     * near-cliques, so 2-3 rounds in practice). Lineage is cut per round
     * with localCheckpoint so the plan stays flat. At 10^12 docs the same
-    * loop shape holds (each round = one shuffle-join on doc_id); for
-    * adversarial long-chain graphs swap in alternating large-star /
-    * small-star rounds — same join primitive, better worst-case depth.
+    * loop shape holds (each round = one shuffle-join on doc_id); graphs
+    * that don't converge within the round budget switch to alternating
+    * large-star / small-star contraction — see [[connectedComponents]].
     */
-  def lshConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairs(spark, dir)
+  def lshConnectedComponents(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashLshPairs(spark, dir))
+
+  /** Components of an undirected (a, b) pair list with the round budget
+    * as the diameter heuristic: min-label propagation for up to
+    * `labelRounds` rounds (dup graphs are near-cliques — 2-3 rounds in
+    * practice), and if the budget is hit (a long-chain / adversarial
+    * diameter graph), a switch to O(log^2 n) star contraction seeded
+    * with the original pairs PLUS the partially propagated label links.
+    * Every label is the id of some node reachable from its owner
+    * (inductively: init takes min over self+neighbors; updates take min
+    * over neighbors' labels), so the added links are intra-component —
+    * the union preserves components exactly while shortcutting chains
+    * by the already-propagated distance.
+    */
+  def connectedComponents(rawPairs: DataFrame, labelRounds: Int = 3): DataFrame = {
+    // self-loops carry no connectivity (and star contraction drops
+    // them) — filter up front so both paths emit the same node set
+    val pairs = rawPairs.filter(col("a") =!= col("b"))
     val edges = pairs.select(col("a").as("s"), col("b").as("t"))
       .union(pairs.select(col("b").as("s"), col("a").as("t")))
       .localCheckpoint(true)
@@ -154,7 +171,9 @@ object DedupOps {
     }
     var prevSum = labelSum()
     var converged = labels.isEmpty
-    while (!converged) {
+    var round = 0
+    while (!converged && round < labelRounds) {
+      round += 1
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("t"), col("component").as("tcomp")), Seq("t"))
         .groupBy(col("s").as("doc_id"))
@@ -168,7 +187,10 @@ object DedupOps {
       converged = s == prevSum
       prevSum = s
     }
-    labels
+    if (converged) labels
+    else connectedComponentsStar(
+      pairs.select(col("a"), col("b"))
+        .union(labels.select(col("doc_id").as("a"), col("component").as("b"))))
   }
 
   /** Connected components via alternating large-star / small-star

@@ -29,10 +29,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   private def check(pairs: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
     val df = pairs.toDF("a", "b")
-    val got = graft.ops.DedupOps.connectedComponentsStar(df)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = refComponents(pairs)
-    assert(got == want, s"pairs=$pairs")
+    val star = graft.ops.DedupOps.connectedComponentsStar(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == want, s"star, pairs=$pairs")
+    // the hybrid dispatch must agree on BOTH paths: a round budget big
+    // enough to converge by propagation, and one that forces the
+    // star-contraction fallback seeded with partial labels
+    Seq(64, 1).foreach { rounds =>
+      val hybrid = graft.ops.DedupOps.connectedComponents(df, labelRounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hybrid == want, s"hybrid(labelRounds=$rounds), pairs=$pairs")
+    }
   }
 
   test("long chain (propagation worst case)") {
