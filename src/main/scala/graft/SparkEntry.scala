@@ -35,6 +35,7 @@ object SparkEntry {
     "q_mstr_reports" -> ((s, _) => MstrQueries.reports(s)),
     "q_mstr_nodes" -> ((s, _) => MstrQueries.nodes(s)),
     "q_mstr_edges" -> ((s, _) => MstrQueries.edges(s)),
+    "q_mstr_validate" -> ((s, _) => MstrQueries.violations(s)),
     // ---- reference relational operators (SURVEY.md §2) ----
     "q1_agg" -> ((s, d) => RelationalOps.q1Agg(s, d)),
     "q_join_agg" -> ((s, d) => RelationalOps.joinAgg(s, d)),
@@ -45,6 +46,7 @@ object SparkEntry {
     "q_href_split" -> ((s, d) => RelationalOps.hrefSplit(s, d)),
     "q_md5_form_id" -> ((s, d) => RelationalOps.md5FormId(s, d)),
     "q_lookup_cascade" -> ((s, d) => RelationalOps.lookupCascade(s, d)),
+    "q_validate" -> ((s, d) => RelationalOps.validateEntities(s, d)),
     "q_dedup_first" -> ((s, d) => RelationalOps.dedupFirstWins(s, d)),
     "q_fuzzy_match" -> ((s, d) => RelationalOps.fuzzyBestMatch(s, d)),
     "q_window_agg" -> ((s, d) => RelationalOps.windowAgg(s, d)),
@@ -169,6 +171,31 @@ object SparkEntry {
          FROM events e
          LEFT JOIN customer c ON e.user_id = c.c_custkey
          LEFT JOIN supplier s ON e.user_id = s.s_suppkey""",
+
+    "q_validate" ->
+      """WITH entities AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN md5(text)
+                  WHEN doc_id % 7 = 1 THEN substr(upper(md5(text)), 1, 30)
+                  ELSE upper(md5(text)) END AS entity_id,
+             CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN 'simples' WHEN 1 THEN 'composto'
+                  WHEN 2 THEN 'embedded' WHEN 3 THEN 'simples'
+                  ELSE 'composto' END AS tipo,
+             doc_id % 3 <> 0 AS has_fact,
+             doc_id % 4 AS n_children
+           FROM documents)
+         SELECT doc_id, 'id_pattern' AS rule, 'error' AS severity FROM entities
+         WHERE NOT regexp_matches(entity_id, '^[A-F0-9]{32}$')
+         UNION ALL
+         SELECT doc_id, 'tipo_enum', 'error' FROM entities
+         WHERE tipo NOT IN ('simples', 'composto')
+         UNION ALL
+         SELECT doc_id, 'simple_without_fact', 'warning' FROM entities
+         WHERE tipo = 'simples' AND NOT has_fact
+         UNION ALL
+         SELECT doc_id, 'composite_without_children', 'warning' FROM entities
+         WHERE tipo = 'composto' AND n_children = 0""",
 
     "q_dedup_first" ->
       """SELECT o_custkey, o_orderkey, o_orderdate FROM (

@@ -59,7 +59,9 @@ object MstrPipeline {
     * Dims + content broadcast; reports spread by hash of id.
     */
   def run(spark: SparkSession, pages: Seq[PageRow], lang: String = "pt-BR",
-          numPartitions: Int = 0): (Dataset[ReportJsonRow], Dataset[NodeRow], Dataset[EdgeRow]) = {
+          numPartitions: Int = 0,
+          envId: String = GraphFlatten.DefaultEnvId,
+          envName: String = GraphFlatten.DefaultEnvName): (Dataset[ReportJsonRow], Dataset[NodeRow], Dataset[EdgeRow]) = {
     import spark.implicits._
     val loc = MstrLocale.forLang(lang)
     val corpus = corpusFromPages(pages)
@@ -80,7 +82,7 @@ object MstrPipeline {
         val engine = new MstrEngine(bIndexes.value, files, loc)
         it.flatMap { info =>
           engine.extractReport(info).map { r =>
-            val (nodes, edges) = GraphFlatten.flatten(r)
+            val (nodes, edges) = GraphFlatten.flatten(r, envId, envName)
             (ReportJsonRow(r.id, r.name, r.filePath, JsonExport.exportOne(r)),
               nodes.toArray, edges.toArray)
           }
@@ -91,6 +93,30 @@ object MstrPipeline {
     (cached.map(_._1),
       cached.flatMap(_._2.toSeq),
       cached.flatMap(_._3.toSeq))
+  }
+
+  /** Validation stage (data_validator.py:175-248 analog): re-walk each
+    * extracted tree row-locally and emit one row per schema violation —
+    * a queryable `violations` table instead of log lines. Same
+    * distribution shape as [[run]] (broadcast dims, no shuffle).
+    */
+  def validation(spark: SparkSession, pages: Seq[PageRow], lang: String = "pt-BR",
+                 numPartitions: Int = 0): Dataset[ViolationRow] = {
+    import spark.implicits._
+    val loc = MstrLocale.forLang(lang)
+    val corpus = corpusFromPages(pages)
+    val indexes = buildIndexes(corpus, loc)
+    val bCorpus = spark.sparkContext.broadcast(corpus)
+    val bIndexes = spark.sparkContext.broadcast(indexes)
+    val reports0 = spark.createDataset(indexes.documento.links)
+    val reports = if (numPartitions > 0) reports0.repartition(numPartitions) else reports0
+    reports.mapPartitions { it =>
+      val parseCache = scala.collection.mutable.Map.empty[String, Option[Soup]]
+      val files: String => Option[Soup] = f =>
+        parseCache.getOrElseUpdate(f, bCorpus.value.get(f).map(Soup.parse))
+      val engine = new MstrEngine(bIndexes.value, files, loc)
+      it.flatMap(info => engine.extractReport(info).toSeq.flatMap(Validator.validate))
+    }
   }
 
   /** A9 summary — distinct entity counts from the flattened tables. */
@@ -115,10 +141,20 @@ object MstrPipeline {
   * MERGE keys (init_neo4j_schema.py:115-158): id for most labels,
   * (attribute_id, name)-derived md5 for Form, (name, file_path) for
   * Function, name for User.
+  *
+  * Every entity node additionally gets a BELONGS_TO edge to the run's
+  * Environment node — the loader roots all data under an Environment
+  * for versioning / multi-tenant isolation (create_environment,
+  * load_to_neo4j.py:195-221; BELONGS_TO on every entity load,
+  * load_to_neo4j.py:237-740; README.md:599-607,637).
   */
 object GraphFlatten {
 
-  def flatten(r: Relatorio): (Seq[NodeRow], Seq[EdgeRow]) = {
+  final val DefaultEnvId = "default"
+  final val DefaultEnvName = "Default"
+
+  def flatten(r: Relatorio, envId: String = DefaultEnvId,
+              envName: String = DefaultEnvName): (Seq[NodeRow], Seq[EdgeRow]) = {
     val nodes = scala.collection.mutable.ArrayBuffer.empty[NodeRow]
     val edges = scala.collection.mutable.ArrayBuffer.empty[EdgeRow]
 
@@ -177,6 +213,15 @@ object GraphFlatten {
       }
       d.metricas.foreach(m => walkMetric(m, "Dataset", d.id, "HAS_METRIC"))
     }
+
+    // every entity node (NodeRow.id is already its MERGE key, incl. the
+    // name-keyed User rows) roots under the Environment — one BELONGS_TO
+    // per distinct (label, id) this report contributes
+    val belongs = nodes.map(n => (n.label, n.id)).distinct.map { case (label, id) =>
+      EdgeRow("BELONGS_TO", label, id, "Environment", envId, "")
+    }
+    nodes += NodeRow("Environment", envId, envName, "", "")
+    edges ++= belongs
 
     (nodes.toSeq, edges.toSeq)
   }

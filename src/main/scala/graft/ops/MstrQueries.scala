@@ -16,4 +16,6 @@ object MstrQueries {
   def reports(spark: SparkSession): DataFrame = run(spark)._1.toDF()
   def nodes(spark: SparkSession): DataFrame = run(spark)._2.toDF()
   def edges(spark: SparkSession): DataFrame = run(spark)._3.toDF()
+  def violations(spark: SparkSession): DataFrame =
+    MstrPipeline.validation(spark, MstrCorpus.pages, "pt-BR", numPartitions = 2).toDF()
 }

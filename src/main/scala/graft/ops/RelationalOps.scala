@@ -167,6 +167,38 @@ object RelationalOps {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
+  /** Validation-stage relational analog (data_validator.py:18-138,
+    * mirrored row-locally on the entity tree by
+    * [[graft.mstr.Validator]]): a deterministic entity table is
+    * synthesized from `documents` (ids md5-derived, slices deliberately
+    * corrupted) and each Pydantic rule becomes a violation emitter —
+    * id pattern `^[A-F0-9]{32}$`, tipo enum, simple-metric-without-fact,
+    * composite-without-children. Pure column expressions; the scan is
+    * pruned to (doc_id, text) and each emitter is a codegen'd filter.
+    */
+  def validateEntities(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val entities = d.select(
+      col("doc_id"),
+      when(col("doc_id") % 7 === 0, md5(col("text"))) // lowercase → violates
+        .when(col("doc_id") % 7 === 1, substring(upper(md5(col("text"))), 1, 30)) // short
+        .otherwise(upper(md5(col("text")))).as("entity_id"),
+      element_at(
+        array(lit("simples"), lit("composto"), lit("embedded"), lit("simples"), lit("composto")),
+        (col("doc_id") % 5 + 1).cast("int")).as("tipo"),
+      (col("doc_id") % 3 =!= 0).as("has_fact"),
+      (col("doc_id") % 4).as("n_children"))
+    def emit(cond: Column, rule: String, severity: String): DataFrame =
+      entities.filter(cond)
+        .select(col("doc_id"), lit(rule).as("rule"), lit(severity).as("severity"))
+    emit(!col("entity_id").rlike("^[A-F0-9]{32}$"), "id_pattern", "error")
+      .unionByName(emit(!col("tipo").isin("simples", "composto"), "tipo_enum", "error"))
+      .unionByName(emit(col("tipo") === "simples" && !col("has_fact"),
+        "simple_without_fact", "warning"))
+      .unionByName(emit(col("tipo") === "composto" && col("n_children") === 0,
+        "composite_without_children", "warning"))
+  }
+
   /** Broadcast dim join + agg: revenue per nation (J1-style equi-join
     * against small dims, dims broadcast).
     */

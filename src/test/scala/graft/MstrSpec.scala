@@ -159,5 +159,15 @@ class MstrSpec extends AnyFunSuite {
     assert(summary("OWNS") == 2)
     assert(summary("VIEW") == 1)
     assert(summary("FULL_CONTROL") == 1)
+    // environment rooting: ONE Environment node; every distinct entity
+    // node has a BELONGS_TO edge to it (load_to_neo4j.py:195-221,237-740)
+    assert(summary("Environment") == 1)
+    val entityKeys = nodes.collect().filter(_.label != "Environment")
+      .map(n => (n.label, n.id)).toSet
+    val belongsSrc = edges.collect().filter(_.edge_type == "BELONGS_TO")
+      .map(e => (e.src_label, e.src_id)).toSet
+    assert(edges.collect().filter(_.edge_type == "BELONGS_TO")
+      .forall(e => e.dst_label == "Environment" && e.dst_id == "default"))
+    assert(belongsSrc == entityKeys)
   }
 }
