@@ -1,0 +1,132 @@
+package graft.mstr
+
+import graft.pipeline.PageRow
+import graft.text.TextOps
+import org.apache.spark.sql.SparkSession
+
+/** Runnable entry point for the MSTR extraction job — the CLI analog of
+  * the reference's driver (mstr-extractor.py:37-197):
+  *
+  *  - `--filter <s>`   case-insensitive substring over report names
+  *                     (mstr-extractor.py:131-135, 162-176)
+  *  - `--report <name>` staged name match: exact → case-insensitive →
+  *                     accent-normalized → fuzzy best-match
+  *                     (report_parser.py:72-128)
+  *  - `--report-id <id>` exact id match, case-insensitive
+  *                     (report_parser.py:51-69)
+  *  - `--dry-run`      count the (filtered) work list, extract nothing
+  *                     (mstr-extractor.py:126-136)
+  *  - `--locale <code>` pt-BR (default) / en-US
+  *  - `--pages <parquet>` read the corpus from a pages-table parquet
+  *                     (url, warc_ts, html, text, lang); defaults to the
+  *                     deterministic fixture corpus
+  *  - `--output-json <dir>` write per-report JSON (the export_to_json
+  *                     analog) as a parquet of (report_id, json)
+  *
+  * Selection precedence mirrors the reference exactly: report-id, then
+  * report name, then filter, else all.
+  */
+object MstrMain {
+
+  final case class Config(filter: Option[String] = None,
+                          report: Option[String] = None,
+                          reportId: Option[String] = None,
+                          dryRun: Boolean = false,
+                          lang: String = "pt-BR",
+                          pagesPath: Option[String] = None,
+                          outputJson: Option[String] = None)
+
+  def parseArgs(args: Array[String]): Config = {
+    @annotation.tailrec
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case "--filter" :: v :: t => loop(t, c.copy(filter = Some(v)))
+      case "--report" :: v :: t => loop(t, c.copy(report = Some(v)))
+      case "--report-id" :: v :: t => loop(t, c.copy(reportId = Some(v)))
+      case "--dry-run" :: t => loop(t, c.copy(dryRun = true))
+      case "--locale" :: v :: t => loop(t, c.copy(lang = v))
+      case "--pages" :: v :: t => loop(t, c.copy(pagesPath = Some(v)))
+      case "--output-json" :: v :: t => loop(t, c.copy(outputJson = Some(v)))
+      case Nil => c
+      case bad :: _ => throw new IllegalArgumentException(s"unknown arg: $bad")
+    }
+    loop(args.toList, Config())
+  }
+
+  /** Narrow the report work list per the reference's precedence.
+    * Name selection keeps ALL hits of the first non-empty stage (the
+    * reference's extract_report returns every same-named report); the
+    * fuzzy stage delegates to the J2 cascade's best-match.
+    */
+  def selectReports(index: LinkIndex, cfg: Config): Seq[LinkResult] = {
+    val links = index.links
+    cfg.reportId match {
+      case Some(id) =>
+        links.filter(_.anchor.equalsIgnoreCase(id))
+      case None => cfg.report match {
+        case Some(name) =>
+          val exact = links.filter(_.name == name)
+          if (exact.nonEmpty) exact
+          else {
+            val ci = links.filter(_.name.equalsIgnoreCase(name))
+            if (ci.nonEmpty) ci
+            else {
+              val norm = TextOps.normalizeForMatching(name)
+              val normed = links.filter(l => TextOps.normalizeForMatching(l.name) == norm)
+              if (normed.nonEmpty) normed
+              else index.findByName(name).toSeq // fuzzy best-match stage
+            }
+          }
+        case None => cfg.filter match {
+          case Some(f) =>
+            val fl = f.toLowerCase(java.util.Locale.ROOT)
+            links.filter(_.name.toLowerCase(java.util.Locale.ROOT).contains(fl))
+          case None => links
+        }
+      }
+    }
+  }
+
+  /** Dry-run count or full extraction over the selected work list.
+    * Returns (selected count, extracted reports) — empty on dry-run.
+    */
+  def execute(spark: SparkSession, pages: Seq[PageRow],
+              cfg: Config): (Long, Seq[ReportJsonRow]) = {
+    val loc = MstrLocale.forLang(cfg.lang)
+    val indexes = MstrPipeline.buildIndexes(MstrPipeline.corpusFromPages(pages), loc)
+    val selected = selectReports(indexes.documento, cfg)
+    if (cfg.dryRun) (selected.size.toLong, Nil)
+    else {
+      val (reports, _, _) =
+        MstrPipeline.run(spark, pages, cfg.lang, selection = Some(selected))
+      (selected.size.toLong, reports.collect().toSeq)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("mstr-extract")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import spark.implicits._
+      val pages: Seq[PageRow] = cfg.pagesPath match {
+        case Some(p) => spark.read.parquet(p).as[PageRow].collect().toSeq
+        case None => graft.fixtures.MstrCorpus.pages
+      }
+      val (n, reports) = execute(spark, pages, cfg)
+      if (cfg.dryRun) println(s"Found $n reports" +
+        cfg.filter.map(f => s" (filtered by '$f')").getOrElse(""))
+      else {
+        println(s"Extracted ${reports.size} report(s) of $n selected")
+        cfg.outputJson.foreach { out =>
+          spark.createDataset(reports).toDF().write.mode("overwrite").parquet(out)
+          println(s"JSON export completed: $out")
+        }
+      }
+    } finally spark.stop()
+  }
+}

@@ -61,7 +61,8 @@ object MstrPipeline {
   def run(spark: SparkSession, pages: Seq[PageRow], lang: String = "pt-BR",
           numPartitions: Int = 0,
           envId: String = GraphFlatten.DefaultEnvId,
-          envName: String = GraphFlatten.DefaultEnvName): (Dataset[ReportJsonRow], Dataset[NodeRow], Dataset[EdgeRow]) = {
+          envName: String = GraphFlatten.DefaultEnvName,
+          selection: Option[Seq[LinkResult]] = None): (Dataset[ReportJsonRow], Dataset[NodeRow], Dataset[EdgeRow]) = {
     import spark.implicits._
     val loc = MstrLocale.forLang(lang)
     val corpus = corpusFromPages(pages)
@@ -69,7 +70,9 @@ object MstrPipeline {
     val bCorpus = spark.sparkContext.broadcast(corpus)
     val bIndexes = spark.sparkContext.broadcast(indexes)
 
-    val workList = indexes.documento.links
+    // selection = the CLI's --filter/--report/--report-id narrowed
+    // work-list (mstr-extractor.py:139-180); default = all reports
+    val workList = selection.getOrElse(indexes.documento.links)
     val reports0 = spark.createDataset(workList)
     val reports = if (numPartitions > 0) reports0.repartition(numPartitions) else reports0
 

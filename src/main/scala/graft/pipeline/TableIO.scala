@@ -23,6 +23,41 @@ final class TableIO(root: String) {
   import TableIO.Snapshot
   private val manifestPath = Paths.get(root, "manifest.json")
 
+  /** Every commit also files a copy of the live manifest under
+    * `manifests/manifest-<id>.json` — an append-only history that makes
+    * any past snapshot restorable ([[rollbackTo]]), since the snapshot
+    * dirs themselves are never deleted by commits.
+    */
+  private def historyDir = Paths.get(root, "manifests")
+
+  private def historyIds(): Seq[Long] = {
+    if (!Files.exists(historyDir)) return Nil
+    val s = Files.list(historyDir)
+    try s.toArray.toSeq.map(_.toString).flatMap(p =>
+      """manifest-(\d+)\.json""".r.findFirstMatchIn(p).map(_.group(1).toLong))
+    finally s.close()
+  }
+
+  /** Ids are unique across the WHOLE history (incl. branches abandoned
+    * by a rollback), never reused — a new commit after a rollback can't
+    * collide with a snapshot dir from the abandoned branch.
+    */
+  private def nextId(): Long =
+    (snapshots().map(_.id) ++ historyIds()).maxOption.getOrElse(0L) + 1
+
+  /** Atomically install `lines` as the live manifest and file the
+    * history copy for commit `id`.
+    */
+  private def commitManifest(lines: String, id: Long): Unit = {
+    Files.createDirectories(historyDir)
+    Files.write(historyDir.resolve(s"manifest-$id.json"),
+      lines.getBytes(StandardCharsets.UTF_8))
+    val tmp = Paths.get(root, ".manifest.tmp")
+    Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
   def snapshots(): Seq[Snapshot] = {
     if (!Files.exists(manifestPath)) return Nil
     Files.readAllLines(manifestPath, StandardCharsets.UTF_8)
@@ -50,17 +85,14 @@ final class TableIO(root: String) {
   def appendSnapshot(df: DataFrame): Snapshot = {
     Files.createDirectories(Paths.get(root))
     val prev = snapshots()
-    val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
+    val id = nextId()
     val dir = s"snap-$id"
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dir")
     val rows = df.sparkSession.read.parquet(s"$root/$dir").count()
     val line = s"""{"id":$id,"dir":"$dir","rows":$rows}"""
     val all = (prev.map(s => s"""{"id":${s.id},"dir":"${s.dir}","rows":${s.rows}}""") :+ line)
       .mkString("", "\n", "\n")
-    val tmp = Paths.get(root, ".manifest.tmp")
-    Files.write(tmp, all.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    commitManifest(all, id)
     Snapshot(id, dir, rows)
   }
 
@@ -99,18 +131,44 @@ final class TableIO(root: String) {
     */
   def replaceWith(df: DataFrame): Snapshot = {
     Files.createDirectories(Paths.get(root))
-    val prev = snapshots()
-    val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
+    val id = nextId()
     val dir = s"snap-$id"
     // materialize BEFORE truncating the manifest: df may read prior snapshots
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dir")
     val rows = df.sparkSession.read.parquet(s"$root/$dir").count()
-    val line = s"""{"id":$id,"dir":"$dir","rows":$rows}""" + "\n"
+    commitManifest(s"""{"id":$id,"dir":"$dir","rows":$rows}""" + "\n", id)
+    Snapshot(id, dir, rows)
+  }
+
+  /** Scoped delete — the `delete_by_report` / `delete_by_environment`
+    * analog (load_to_neo4j.py:871-1022): rows matching `condition` are
+    * removed by rewriting the survivors as a replacement snapshot (the
+    * copy-on-write DELETE of table formats without positional deletes).
+    * A re-extract of the deleted scope then converges via
+    * [[mergeByKey]]/[[pending]]. No-op (None) on an empty table.
+    */
+  def deleteWhere(spark: SparkSession, condition: org.apache.spark.sql.Column): Option[Snapshot] =
+    readTable(spark).map(committed => replaceWith(committed.filter(!condition)))
+
+  /** Key-list convenience over [[deleteWhere]] (delete one report's /
+    * environment's rows by id).
+    */
+  def deleteByKeys(spark: SparkSession, keyCol: String, keys: Seq[String]): Option[Snapshot] =
+    deleteWhere(spark, col(keyCol).isin(keys: _*))
+
+  /** Restore the table to a past snapshot by reinstalling that commit's
+    * manifest as the live view (Iceberg rollback analog — the data dirs
+    * were never deleted, so this is a metadata-only operation). Ids are
+    * never reused, so commits after a rollback keep working; the
+    * abandoned branch's dirs stay on disk, referenced only by history.
+    */
+  def rollbackTo(snapshotId: Long): Unit = {
+    val src = historyDir.resolve(s"manifest-$snapshotId.json")
+    require(Files.exists(src), s"no snapshot $snapshotId in $historyDir")
     val tmp = Paths.get(root, ".manifest.tmp")
-    Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
+    Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
     Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
-    Snapshot(id, dir, rows)
   }
 }
 

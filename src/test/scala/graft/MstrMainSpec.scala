@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.MstrCorpus
+import graft.mstr.{MstrMain, MstrLocale, MstrPipeline}
+
+/** Driver CLI semantics (mstr-extractor.py:37-197): selection
+  * precedence, staged name matching, ci filter, dry-run.
+  */
+class MstrMainSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val RID = MstrCorpus.RID
+  private val RID2 = MstrCorpus.RID2
+  private def index = MstrPipeline
+    .buildIndexes(MstrPipeline.corpusFromPages(MstrCorpus.pages), MstrLocale.ptBR)
+    .documento
+  import MstrMain.Config
+
+  test("arg parsing covers every reference flag") {
+    val c = MstrMain.parseArgs(Array("--filter", "vendas", "--report-id", RID,
+      "--dry-run", "--locale", "pt-BR", "--output-json", "/tmp/x"))
+    assert(c == Config(filter = Some("vendas"), reportId = Some(RID), dryRun = true,
+      lang = "pt-BR", outputJson = Some("/tmp/x")))
+    intercept[IllegalArgumentException](MstrMain.parseArgs(Array("--nope")))
+  }
+
+  test("--report-id: exact id, case-insensitive; unknown id selects nothing") {
+    assert(MstrMain.selectReports(index, Config(reportId = Some(RID)))
+      .map(_.name) == Seq("Relatório de Vendas"))
+    assert(MstrMain.selectReports(index, Config(reportId = Some(RID.toLowerCase)))
+      .map(_.name) == Seq("Relatório de Vendas"))
+    assert(MstrMain.selectReports(index, Config(reportId = Some("F" * 32))).isEmpty)
+  }
+
+  test("--report: staged match exact -> ci -> normalized -> fuzzy") {
+    def sel(n: String) = MstrMain.selectReports(index, Config(report = Some(n))).map(_.name)
+    assert(sel("Relatório de Vendas") == Seq("Relatório de Vendas")) // exact
+    assert(sel("relatório VAZIO") == Seq("Relatório Vazio"))         // ci
+    assert(sel("relatorio de vendas") == Seq("Relatório de Vendas")) // accent-normalized
+    assert(sel("Relatório de Vend") == Seq("Relatório de Vendas"))   // fuzzy best-match
+    assert(sel("zzz nothing") == Nil)
+  }
+
+  test("--filter: ci substring over names; no flags selects all") {
+    assert(MstrMain.selectReports(index, Config(filter = Some("VAZIO")))
+      .map(_.name) == Seq("Relatório Vazio"))
+    assert(MstrMain.selectReports(index, Config()).size == 2)
+  }
+
+  test("--report-id takes precedence over --report and --filter") {
+    val c = Config(reportId = Some(RID2), report = Some("Relatório de Vendas"),
+      filter = Some("vendas"))
+    assert(MstrMain.selectReports(index, c).map(_.name) == Seq("Relatório Vazio"))
+  }
+
+  test("--dry-run counts without extracting; selection drives extraction") {
+    val (nDry, none) = MstrMain.execute(spark, MstrCorpus.pages,
+      Config(dryRun = true, filter = Some("relatório")))
+    assert(nDry == 2 && none.isEmpty)
+    val (n1, reports) = MstrMain.execute(spark, MstrCorpus.pages,
+      Config(reportId = Some(RID)))
+    assert(n1 == 1)
+    assert(reports.map(_.report_id) == Seq(RID))
+    // the single-report extraction equals the full run's row for RID
+    val full = MstrPipeline.run(spark, MstrCorpus.pages, "pt-BR")._1
+      .collect().filter(_.report_id == RID)
+    assert(reports.head.json == full.head.json)
+  }
+}

@@ -124,6 +124,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(io.snapshots().length == 1) // manifest references only the live one
   }
 
+  test("deleteWhere: scoped delete then re-extract converges (delete_by_report analog)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-del").toString
+    val io = new TableIO(root)
+    io.appendSnapshot(Seq(("r1", "a", 1), ("r1", "b", 2), ("r2", "c", 3))
+      .toDF("report_id", "key", "v"))
+    def table(): Set[(String, String, Int)] = io.readTable(spark).get
+      .select("report_id", "key", "v")
+      .as[(String, String, Int)].collect().toSet
+    // surgically remove one report's rows
+    io.deleteByKeys(spark, "report_id", Seq("r1"))
+    assert(table() == Set(("r2", "c", 3)))
+    // re-extract the deleted report (values changed) and merge: converges
+    val reextracted = Seq(("r1", "a", 10), ("r1", "b", 20)).toDF("report_id", "key", "v")
+    io.mergeByKey(reextracted, "key")
+    assert(table() == Set(("r1", "a", 10), ("r1", "b", 20), ("r2", "c", 3)))
+    // idempotent re-merge
+    io.mergeByKey(reextracted, "key")
+    assert(table() == Set(("r1", "a", 10), ("r1", "b", 20), ("r2", "c", 3)))
+  }
+
+  test("rollbackTo restores a prior snapshot; post-rollback commits keep unique ids") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-rb").toString
+    val io = new TableIO(root)
+    val s1 = io.appendSnapshot(Seq(("u1", 1), ("u2", 2)).toDF("key", "v"))
+    val updates = Seq(("u2", 20), ("u3", 30)).toDF("key", "v")
+    val s2 = io.mergeByKey(updates, "key")
+    def table(): Map[String, Int] = io.readTable(spark).get
+      .as[(String, Int)].collect().toMap
+    assert(table() == Map("u1" -> 1, "u2" -> 20, "u3" -> 30))
+    // metadata-only rollback to the first commit
+    io.rollbackTo(s1.id)
+    assert(table() == Map("u1" -> 1, "u2" -> 2))
+    // re-running the merge after rollback converges to the same state
+    val s3 = io.mergeByKey(updates, "key")
+    assert(table() == Map("u1" -> 1, "u2" -> 20, "u3" -> 30))
+    assert(s3.id > s2.id) // abandoned-branch ids are never reused
+    // rolling back to an unknown snapshot fails loudly
+    intercept[IllegalArgumentException](io.rollbackTo(9999L))
+  }
+
   test("entry flagship returns rows on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
