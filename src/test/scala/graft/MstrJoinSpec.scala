@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.MstrCorpus
+import graft.mstr.{MstrJoinPipeline, MstrPipeline}
+
+/** The join-based plan (unbounded-corpus path: distributed pages,
+  * staged request joins) must produce byte-identical report JSON to the
+  * broadcast-corpus plan — same parsers, different physical strategy.
+  */
+class MstrJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("join path equals broadcast path byte-for-byte on the fixture corpus") {
+    import spark.implicits._
+    val viaBroadcast = MstrPipeline.run(spark, MstrCorpus.pages, "pt-BR")._1
+      .collect().map(r => r.report_id -> r.json).toMap
+
+    // distributed pages, deliberately spread over several partitions
+    val pagesDs = spark.createDataset(MstrCorpus.pages).repartition(5)
+    val viaJoin = MstrJoinPipeline.run(spark, pagesDs, "pt-BR")
+      .collect().map(r => r.report_id -> r.json).toMap
+
+    assert(viaJoin.keySet == viaBroadcast.keySet)
+    viaBroadcast.foreach { case (rid, json) =>
+      assert(viaJoin(rid) == json, s"report $rid diverged between paths")
+    }
+  }
+
+  test("join path drops reports whose content page is missing (engine None semantics)") {
+    import spark.implicits._
+    val docFile = graft.mstr.MstrLocale.ptBR.documento
+    // remove every content page except the index files: no report
+    // assembles, but index-only planning still works
+    val indexOnly = MstrCorpus.pages.filter { p =>
+      val f = p.url.substring(p.url.lastIndexOf('/') + 1)
+      f == docFile || f.endsWith(".html") && !f.startsWith("Documento_")
+    }
+    val out = MstrJoinPipeline.run(spark, spark.createDataset(indexOnly), "pt-BR")
+    assert(out.collect().isEmpty)
+  }
+}
