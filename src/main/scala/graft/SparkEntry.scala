@@ -36,6 +36,7 @@ object SparkEntry {
     "q_mstr_nodes" -> ((s, _) => MstrQueries.nodes(s)),
     "q_mstr_edges" -> ((s, _) => MstrQueries.edges(s)),
     "q_mstr_validate" -> ((s, _) => MstrQueries.violations(s)),
+    "q_mstr_join" -> ((s, _) => MstrQueries.joinPath(s)),
     // ---- reference relational operators (SURVEY.md §2) ----
     "q1_agg" -> ((s, d) => RelationalOps.q1Agg(s, d)),
     "q_join_agg" -> ((s, d) => RelationalOps.joinAgg(s, d)),

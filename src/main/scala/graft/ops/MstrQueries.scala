@@ -18,4 +18,14 @@ object MstrQueries {
   def edges(spark: SparkSession): DataFrame = run(spark)._3.toDF()
   def violations(spark: SparkSession): DataFrame =
     MstrPipeline.validation(spark, MstrCorpus.pages, "pt-BR", numPartitions = 2).toDF()
+
+  /** The unbounded-corpus plan (distributed pages, staged request
+    * joins) on the same fixture — byte-equality with the broadcast plan
+    * is asserted in MstrJoinSpec; rows-only here.
+    */
+  def joinPath(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.mstr.MstrJoinPipeline
+      .run(spark, spark.createDataset(MstrCorpus.pages).repartition(2), "pt-BR").toDF()
+  }
 }

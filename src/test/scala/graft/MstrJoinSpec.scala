@@ -27,6 +27,21 @@ class MstrJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("join path never throws on truncated pages and is partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corrupted = MstrCorpus.pages.map { p =>
+      if (rnd.nextBoolean()) p.copy(html = p.html.take(rnd.nextInt(p.html.length + 1)))
+      else p
+    }
+    def run(parts: Int): Map[String, String] =
+      MstrJoinPipeline.run(spark, spark.createDataset(corrupted).repartition(parts), "pt-BR")
+        .collect().map(r => r.report_id -> r.json).toMap
+    val a = run(1)
+    val b = run(7)
+    assert(a == b, "corrupted-corpus extraction must be partition-invariant")
+  }
+
   test("join path drops reports whose content page is missing (engine None semantics)") {
     import spark.implicits._
     val docFile = graft.mstr.MstrLocale.ptBR.documento

@@ -42,6 +42,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_ann_ivf: assignment is a partial aggregation, not a window over NxK") {
+    val p = plan("q_ann_ivf")
+    // nearest-centroid assignment must be max_by with map-side partial
+    // agg; the only Window allowed is over the tiny probe/top-k sets
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      (p.contains("max_by") && p.contains("HashAggregate")),
+      s"expected max_by partial aggregation in:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "centroids and probes must broadcast")
+  }
+
+  test("q_embed_neardup: candidate dedup exchanges ids only, no embedding arrays") {
+    val q = SparkEntry.queries("q_embed_neardup")(spark, dir)
+    // sparkPlan, not executedPlan: the AQE wrapper is childless until run
+    val p = q.queryExecution.sparkPlan
+    // find the aggregate implementing the candidate-pair distinct and
+    // assert its output carries no array column (bare ids only)
+    val dedups = p.collect {
+      case agg: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if agg.groupingExpressions.map(_.name).toSet == Set("a", "b") => agg
+    }
+    assert(dedups.nonEmpty, "expected a distinct on bare (a, b) ids")
+    dedups.foreach { agg =>
+      assert(!agg.output.exists(_.dataType.typeName.startsWith("array")),
+        "no embedding arrays may flow through candidate dedup")
+    }
+  }
+
   test("q1_agg: partial (map-side) aggregation before the exchange") {
     val p = plan("q1_agg")
     val firstHashAgg = p.indexOf("HashAggregate")
