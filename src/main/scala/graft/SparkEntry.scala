@@ -65,6 +65,11 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => SimilarityOps.lshBucketedNeighbors(s, d)),
     "q_ann_ivf" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    // ---- corpus hygiene (training-data pipeline) ----
+    "q_pii_redact" -> ((s, d) => CorpusOps.piiRedact(s, d)),
+    "q_domain_cap" -> ((s, d) => CorpusOps.domainCap(s, d)),
+    "q_decontaminate" -> ((s, d) => CorpusOps.decontaminate(s, d)),
+    "q_repetition" -> ((s, d) => CorpusOps.repetitionStats(s, d)),
     // ---- text analysis ----
     "q_langid" -> ((s, d) => TextAnalysisOps.langId(s, d)),
     "q_langid_acc" -> ((s, d) => TextAnalysisOps.langIdAccuracy(s, d)),
@@ -250,6 +255,58 @@ object SparkEntry {
     "q_ann_ivf" -> ivfOracle,
     "q_embed_neardup" -> embedNearDupOracle,
     "q_dedup_cc" -> dedupCcOracle,
+
+    "q_pii_redact" ->
+      """WITH injected AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or admin' || CAST(doc_id AS VARCHAR) || '@mail.test'
+                  WHEN doc_id % 3 = 1 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 2 = 0 THEN ' phone ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS p
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(p, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(p, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(p, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_digest
+         FROM injected""",
+
+    "q_domain_cap" ->
+      """SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents) WHERE rn <= 2""",
+
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         g AS (
+           SELECT doc_id, unnest(CASE WHEN len(ws) >= 5
+             THEN list_transform(generate_series(1, len(ws) - 4),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+             ELSE [text] END) AS gram
+           FROM w),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0)
+         SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+         FROM g JOIN bench USING (gram)
+         WHERE g.doc_id % 11 <> 0
+         GROUP BY 1""",
+
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         b AS (
+           SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
+                  unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])) AS bg
+           FROM w WHERE len(ws) >= 2),
+         c AS (SELECT doc_id, n_words, n_distinct, bg, count(*) AS n FROM b GROUP BY 1, 2, 3, 4),
+         agg AS (SELECT doc_id, n_words, n_distinct, max(n) AS top_bigram_n,
+                        CAST(sum(n) AS BIGINT) AS n_bigrams
+                 FROM c GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac,
+                round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac,
+                (round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 4) <= 0.18) AS repetition_ok
+         FROM agg""",
 
     "q_langid" -> langidOracle,
     "q_langid_acc" ->

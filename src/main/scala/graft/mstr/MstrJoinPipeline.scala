@@ -3,7 +3,7 @@ package graft.mstr
 import graft.pipeline.PageRow
 import graft.text.TextOps
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, col, count}
 import scala.collection.mutable
 
 /** Join-based MSTR extraction for corpora too big to broadcast — the
@@ -60,12 +60,28 @@ object MstrJoinPipeline {
                                   function: Option[FunctionRef], fact: Option[FactRef])
   final case class FactFrag(ds_ord: Int, pos: Seq[Int], tables: Seq[LogicTable])
 
-  final case class Frag(report_id: String,
-                        skel: Option[SkelFrag] = None,
-                        ds: Option[DsFrag] = None,
-                        attr: Option[AttrFrag] = None,
-                        mnode: Option[MetricNodeFrag] = None,
-                        fact: Option[FactFrag] = None)
+  /** Fragment envelope: the typed payloads above ride as a compact
+    * java-serialized blob. Keeping the Spark-facing schema at three
+    * primitive columns (vs five deeply nested optional structs) cuts
+    * Catalyst analysis time per internal job by an order of magnitude —
+    * the payloads are internal to this pipeline, never queried
+    * columnar, and the recursive tree they feed can't be a Catalyst
+    * schema anyway (SURVEY.md §7.4.2).
+    */
+  final case class Frag(report_id: String, blob: Array[Byte])
+
+  object Frag {
+    def of(reportId: String, payload: Serializable): Frag = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(payload)
+      oos.close()
+      Frag(reportId, bos.toByteArray)
+    }
+    def read(f: Frag): AnyRef =
+      new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(f.blob)).readObject()
+  }
 
   final case class RStageOut(frag: Option[Frag], ds: Option[DsReq])
   final case class DStageOut(frag: Option[Frag], attr: Option[AttrReq],
@@ -84,8 +100,32 @@ object MstrJoinPipeline {
     org.apache.commons.codec.digest.DigestUtils.md5Hex(seed)
       .toUpperCase(java.util.Locale.ROOT)
 
+  /** `internalShufflePartitions` sizes the request-side shuffles: every
+    * internal exchange here carries entity-scale request/fragment rows
+    * (never pages), so a narrow width collapses the orchestration
+    * latency of the many small jobs on small corpora; raise it when the
+    * entity count warrants. The pages scan itself is never shuffled.
+    */
   def run(spark: SparkSession, pagesDs: Dataset[PageRow],
-          lang: String = "pt-BR"): Dataset[ReportJsonRow] = {
+          lang: String = "pt-BR",
+          internalShufflePartitions: Int = 4): Dataset[ReportJsonRow] = {
+    import spark.implicits._
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.shuffle.partitions", internalShufflePartitions.toString)
+    // the ~30 internal jobs are tiny and all distinct plans: janino
+    // compilation per plan costs more than interpreted eval saves here
+    // (the expensive work — html parsing — is opaque to codegen anyway)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try runScoped(spark, pagesDs, lang)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+    }
+  }
+
+  private def runScoped(spark: SparkSession, pagesDs: Dataset[PageRow],
+                        lang: String): Dataset[ReportJsonRow] = {
     import spark.implicits._
     val loc = MstrLocale.forLang(lang)
     val indexFiles: Set[String] = Set(loc.documento, loc.relatorio, loc.cuboInteligente,
@@ -106,12 +146,21 @@ object MstrJoinPipeline {
       * inner-joined against the pages table; each matched page is
       * parsed ONCE and all its requests applied row-locally.
       */
-    def stage[R <: Product: scala.reflect.runtime.universe.TypeTag,
-              O: org.apache.spark.sql.Encoder](
+    // grouped-request encoders derived ONCE per run — TypeTag reflection
+    // per stage call would otherwise re-pay the derivation every metric
+    // level (the metric loop calls stage once per recursion depth)
+    import org.apache.spark.sql.Encoder
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val encReport: Encoder[(String, Seq[ReportReq])] = ExpressionEncoder()
+    implicit val encDs: Encoder[(String, Seq[DsReq])] = ExpressionEncoder()
+    implicit val encAttr: Encoder[(String, Seq[AttrReq])] = ExpressionEncoder()
+    implicit val encMetric: Encoder[(String, Seq[MetricReq])] = ExpressionEncoder()
+    implicit val encFact: Encoder[(String, Seq[FactReq])] = ExpressionEncoder()
+
+    def stage[R, O: Encoder](
         reqs: Dataset[R])(fileOf: R => String)(
-        f: (Soup, MstrIndexes, Seq[R]) => Seq[O]): Dataset[O] = {
-      implicit val grouped: org.apache.spark.sql.Encoder[(String, Seq[R])] =
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+        f: (Soup, MstrIndexes, Seq[R]) => Seq[O])(
+        implicit grouped: Encoder[(String, Seq[R])]): Dataset[O] = {
       val perFile = reqs.groupByKey(fileOf).mapGroups((file, it) => (file, it.toSeq))
       pages.joinWith(broadcast(perFile), pages("file") === perFile("_1"))
         .flatMap { case (pg, (_, rs)) => f(Soup.parse(pg.html), bIdx.value, rs) }
@@ -146,8 +195,8 @@ object MstrJoinPipeline {
                 case None => AccessControlEntry(userName, access, None, None, None)
               }
           }
-          val skel = RStageOut(Some(Frag(reportId, skel = Some(SkelFrag(
-            rq.name, s"${rq.file}#$reportId", owner, acl)))), None)
+          val skel = RStageOut(Some(Frag.of(reportId, SkelFrag(
+            rq.name, s"${rq.file}#$reportId", owner, acl))), None)
           val dsInfo = MstrParsers.extractDatasetsFromReport(soup, loc, rq.name,
             Some(reportId))
           skel +: dsInfo.zipWithIndex.flatMap { case ((dsName, dsIdOpt, _), ord) =>
@@ -175,8 +224,8 @@ object MstrJoinPipeline {
               Some(rq.ds_id))
             (ao, None, a, m)
           }
-        val dsFrag = DStageOut(Some(Frag(rq.report_id, ds = Some(DsFrag(
-          rq.ds_ord, rq.ds_name, rq.ds_id, rq.ds_file, appObject, graphic)))), None, None)
+        val dsFrag = DStageOut(Some(Frag.of(rq.report_id, DsFrag(
+          rq.ds_ord, rq.ds_name, rq.ds_id, rq.ds_file, appObject, graphic))), None, None)
         val attrs = attrsInfo.zipWithIndex.flatMap { case (ai, i) =>
           idx.atributo.findLink(ai.id, Some(ai.nameOnDataset)).map { link =>
             DStageOut(None, Some(AttrReq(rq.report_id, rq.ds_ord, i, link.name,
@@ -192,9 +241,9 @@ object MstrJoinPipeline {
                 rq.ds_id, link.name, f, a, anchorOpt, Nil)))
             case None =>
               // embedded/derived metric (report_extractor.py:263-285)
-              DStageOut(Some(Frag(rq.report_id, mnode = Some(MetricNodeFrag(
+              DStageOut(Some(Frag.of(rq.report_id, MetricNodeFrag(
                 rq.ds_ord, Seq(i), mi.nameOnDataset, mi.id.getOrElse(""), mi.href,
-                "embedded", Some("DerivedMetric"), None, None, None)))), None, None)
+                "embedded", Some("DerivedMetric"), None, None, None))), None, None)
           }
         }
         dsFrag +: (attrs ++ mets)
@@ -219,9 +268,9 @@ object MstrJoinPipeline {
           }
           Formulario(guid(s"${attrId}_$fn"), fn, resolved)
         }
-        Frag(rq.report_id, attr = Some(AttrFrag(rq.ds_ord, rq.ord,
+        Frag.of(rq.report_id, AttrFrag(rq.ds_ord, rq.ord,
           Atributo(rq.official, rq.name_on_ds, attrId, fullPath, rq.ds_id,
-            Some("Atributo"), forms))))
+            Some("Atributo"), forms)))
       }
     }
 
@@ -254,9 +303,9 @@ object MstrJoinPipeline {
                   rq.ds_id, link.name, f, a, Some(cid), newPath)), None)
               }
             }
-            MStageOut(Some(Frag(rq.report_id, mnode = Some(MetricNodeFrag(rq.ds_ord,
+            MStageOut(Some(Frag.of(rq.report_id, MetricNodeFrag(rq.ds_ord,
               rq.pos, rq.name, outId, fullPath, tipo, Some("Metrica"), defn.formula,
-              None, None)))), None, None) +: kids
+              None, None))), None, None) +: kids
           } else {
             val function = defn.functionId.flatMap { fid =>
               idx.funcao.findById(fid).map(l => FunctionRef(l.name, fid, filePathOf(l)))
@@ -274,23 +323,28 @@ object MstrJoinPipeline {
                     factPath.split("#", 2)(0), factAnchor)))
               }
             }.getOrElse((None, None))
-            Seq(MStageOut(Some(Frag(rq.report_id, mnode = Some(MetricNodeFrag(rq.ds_ord,
+            Seq(MStageOut(Some(Frag.of(rq.report_id, MetricNodeFrag(rq.ds_ord,
               rq.pos, rq.name, outId, fullPath, tipo, Some("Metrica"), defn.formula,
-              function, fact)))), None, factReq))
+              function, fact))), None, factReq))
           }
         }
       }
 
-    var frontier = dOut.flatMap(_.metric).persist()
+    // each level's emptiness probe rides the SAME action that
+    // materializes the level (count of non-null children) — one job per
+    // level instead of a separate isEmpty pass
+    var frontier = dOut.flatMap(_.metric)
+    var nFrontier = dOut.select(count(col("metric"))).first().getLong(0)
     var mnodeFrags = spark.emptyDataset[Frag]
     var factReqs = spark.emptyDataset[FactReq]
     var depth = 0
-    while (!frontier.isEmpty && depth < 64) {
+    while (nFrontier > 0 && depth < 64) {
       depth += 1
       val out = stage(frontier)(_.file)(metricStage).persist()
+      nFrontier = out.select(count(col("child"))).first().getLong(0)
       mnodeFrags = mnodeFrags.union(out.flatMap(_.frag))
       factReqs = factReqs.union(out.flatMap(_.factReq))
-      frontier = out.flatMap(_.child).persist()
+      frontier = out.flatMap(_.child)
     }
 
     // ---- stage F: fact pages → logic tables (fact_parser.py) ----
@@ -301,7 +355,7 @@ object MstrJoinPipeline {
           val tl = idx.tabelaLogica.findLink(Some(lt.id), Some(lt.name))
           lt.copy(filePath = tl.map(filePathOf))
         }
-        Frag(rq.report_id, fact = Some(FactFrag(rq.ds_ord, rq.pos, lts)))
+        Frag.of(rq.report_id, FactFrag(rq.ds_ord, rq.pos, lts))
       }
     }
 
@@ -309,13 +363,13 @@ object MstrJoinPipeline {
     val allFrags = skelFrags.union(dsFrags).union(attrFrags)
       .union(mnodeFrags).union(factFrags)
 
-    allFrags.groupByKey(_.report_id).flatMapGroups { (rid, it) =>
-      val fs = it.toSeq
-      fs.flatMap(_.skel).headOption.map { sk =>
-        val attrsByDs = fs.flatMap(_.attr).groupBy(f => f.ds_ord)
-        val nodesByDs = fs.flatMap(_.mnode).groupBy(f => f.ds_ord)
-        val factsByDs = fs.flatMap(_.fact).groupBy(f => f.ds_ord)
-        val datasets = fs.flatMap(_.ds).sortBy(_.ds_ord).map { d =>
+    val assembled = allFrags.groupByKey(_.report_id).flatMapGroups { (rid, it) =>
+      val fs = it.map(Frag.read).toSeq
+      fs.collectFirst { case s: SkelFrag => s }.map { sk =>
+        val attrsByDs = fs.collect { case f: AttrFrag => f }.groupBy(_.ds_ord)
+        val nodesByDs = fs.collect { case f: MetricNodeFrag => f }.groupBy(_.ds_ord)
+        val factsByDs = fs.collect { case f: FactFrag => f }.groupBy(_.ds_ord)
+        val datasets = fs.collect { case f: DsFrag => f }.sortBy(_.ds_ord).map { d =>
           val atributos = attrsByDs.getOrElse(d.ds_ord, Nil)
             .sortBy(_.ord).map(_.attr).toList
           val nodeByPos = nodesByDs.getOrElse(d.ds_ord, Nil)
@@ -341,6 +395,11 @@ object MstrJoinPipeline {
         ReportJsonRow(rid, sk.name, sk.file_path, JsonExport.exportOne(r))
       }
     }
+    // materialize eagerly so every internal job runs under the scoped
+    // shuffle width; callers get the cached result
+    val result = assembled.persist()
+    result.count()
+    result
   }
 
   /** Pre-file dataset routing — extractDataset's index-only prefix
@@ -354,15 +413,15 @@ object MstrJoinPipeline {
     MstrIndexes.resolveDatasetLink(idx, Some(dsId0).filter(_.nonEmpty), Some(dsName)) match {
       case None =>
         val id = if (dsId0.nonEmpty) dsId0 else guid(s"$reportId:$dsName")
-        Seq(RStageOut(Some(Frag(reportId, ds = Some(DsFrag(ord, dsName, id, "",
-          Some(""), None)))), None))
+        Seq(RStageOut(Some(Frag.of(reportId, DsFrag(ord, dsName, id, "",
+          Some(""), None))), None))
       case Some((dsFile, source)) =>
         var dsId = dsId0
         if (dsId.isEmpty && dsFile.contains("#")) dsId = dsFile.split("#", 2)(1)
         if (dsId.isEmpty) dsId = guid(s"$reportId:$dsName")
         if (source == "Shortcut")
-          Seq(RStageOut(Some(Frag(reportId, ds = Some(DsFrag(ord, dsName, dsId, dsFile,
-            Some("Shortcut"), None)))), None))
+          Seq(RStageOut(Some(Frag.of(reportId, DsFrag(ord, dsName, dsId, dsFile,
+            Some("Shortcut"), None))), None))
         else
           Seq(RStageOut(None, Some(DsReq(reportId, ord, dsName, dsId, dsFile,
             dsFile.split("#", 2)(0), source))))

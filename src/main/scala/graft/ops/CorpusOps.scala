@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-hygiene operators a large-scale training-data pipeline runs
+  * between crawl and tokenizer — beyond the reference's own surface
+  * (task brief): PII redaction, test-set decontamination, per-domain
+  * caps, and repetition-based quality filters (Gopher/MassiveText-style
+  * rules). Everything is codegen'd column expressions — regex, windows,
+  * explode + hash aggregation — with md5-portable derivations so the
+  * DuckDB oracle can restate each op exactly.
+  */
+object CorpusOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub: deterministic emails/phones are injected (the corpus is
+    * synthetic and clean — the injection IS the fixture), then redacted
+    * with the anchored regexes above. Row-local projection: redaction
+    * at 10^12 docs is a map-only pass, no shuffle.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val injected = docs(spark, dir).select(col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or admin"), col("doc_id").cast("string"),
+            lit("@mail.test")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" phone "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("p"))
+    injected.select(
+      col("doc_id"),
+      regexp_count(col("p"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("p"), lit(PhoneRe)).as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("p"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>")).as("redacted_digest"))
+  }
+
+  /** Per-domain document cap — crawl pipelines bound any single
+    * domain's contribution. Keep the `cap` largest docs per source
+    * (n_chars desc, doc_id tiebreak). The rank-filter shape lets
+    * Spark's WindowGroupLimit push the top-k below the sort at scale.
+    */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("source"), col("rn").cast("int").as("rn"))
+  }
+
+  /** Word k-grams from a pre-split words column (document-local).
+    * `ws` MUST be a projected attribute, not an inline `split(...)`
+    * expression: the lambda references it k times and higher-order
+    * functions evaluate interpreted without common-subexpression
+    * elimination — an inline split would re-tokenize the document k
+    * times per gram.
+    */
+  private def wordGrams(ws: Column, text: Column, k: Int): Column = {
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + 1)): _*)
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k), gram))
+      .otherwise(array(text))
+  }
+
+  /** Test-set decontamination: flag corpus documents sharing any word
+    * 5-gram with the benchmark slice (doc_id % 11 == 0 in this synthetic
+    * corpus). Benchmark grams are the SMALL side (test sets are tiny
+    * next to a crawl) — distinct'd and broadcast; the corpus side is one
+    * explode + broadcast semi-join + hash aggregation, linear in corpus
+    * size. Output: (doc_id, n_shared) per contaminated doc.
+    */
+  def decontaminate(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val d = docs(spark, dir)
+    // filter BEFORE explode on both sides: the benchmark slice explodes
+    // ~1/11 of the corpus, and neither side shingles the other's docs
+    def grams(cond: Column) = d.filter(cond)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"), col("text"))
+      .select(col("doc_id"), explode(wordGrams(col("ws"), col("text"), k)).as("gram"))
+    val bench = grams(col("doc_id") % 11 === 0).select(col("gram")).distinct()
+    grams(col("doc_id") % 11 =!= 0)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  /** Repetition-based quality stats (Gopher-style): duplicate-word
+    * fraction and most-frequent-bigram fraction per document; a doc is
+    * `repetition_ok` when the top bigram is <= 18% of all bigrams (the
+    * published Gopher top-2-gram rule). Explode + two hash aggregations
+    * with map-side partials — no windows, no per-doc collect.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val ws = split(col("text"), " ")
+    // the 2M-row bigram aggregation keys on (doc_id, bg) only; the cheap
+    // per-doc word stats (one row per doc) join back afterwards instead
+    // of riding through both aggregation exchanges
+    val wordStats = d.filter(size(ws) >= 2)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"))
+    val bigramStats = d.filter(size(ws) >= 2)
+      .select(col("doc_id"), ws.as("ws"), col("text"))
+      .select(col("doc_id"), explode(wordGrams(col("ws"), col("text"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
+    bigramStats.join(wordStats, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
+          .as("dup_word_frac"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 4)
+          .as("top_bigram_frac"),
+        (round(col("top_bigram_n").cast("double") / col("n_bigrams"), 4) <= 0.18)
+          .as("repetition_ok"))
+  }
+}
