@@ -30,6 +30,8 @@ object SparkEntry {
     // ---- multimodal binary columns (decode stub, real plumbing) ----
     "q_media_decode" -> ((s, d) => MultimodalOps.decodeQuery(s, d)),
     "q_media_frames" -> ((s, d) => MultimodalOps.framesQuery(s, d)),
+    "q_media_image" -> ((s, d) => MultimodalOps.imageDecodeQuery(s, d)),
+    "q_media_resize" -> ((s, d) => MultimodalOps.imageResizeQuery(s, d)),
     // ---- MSTR entity pipeline on the deterministic fixture corpus ----
     // (byte-identity asserted in MstrSpec; here rows-only sanity)
     "q_mstr_reports" -> ((s, _) => MstrQueries.reports(s)),
@@ -121,6 +123,33 @@ object SparkEntry {
          SELECT doc_id, CAST(t.frame_idx AS BIGINT) AS frame_idx,
                 md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.frame_idx AS VARCHAR)) AS frame_digest
          FROM f, unnest(generate_series(0, n_frames - 1)) AS t(frame_idx)""",
+
+    // the oracle recomputes REAL decoded pixel stats from the image
+    // generation formula — PNG decode must exactly invert the encode
+    "q_media_image" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  CAST(16 + doc_id % 16 AS INT) AS width,
+                  CAST(16 + (doc_id * 3) % 16 AS INT) AS height
+           FROM documents)
+         SELECT doc_id, width, height,
+                CAST(list_sum(flatten(list_transform(generate_series(0, height - 1),
+                  j -> list_transform(generate_series(0, width - 1),
+                    i -> (doc_id * 31 + i * 7 + j * 13) % 256)))) AS BIGINT) AS luma_sum
+         FROM dims""",
+
+    "q_media_resize" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  CAST(16 + doc_id % 16 AS INT) AS width,
+                  CAST(16 + (doc_id * 3) % 16 AS INT) AS height
+           FROM documents),
+         lum AS (
+           SELECT doc_id,
+             list_transform(generate_series(0, 63),
+               p -> CAST((doc_id * 31 + ((p % 8) * width // 8) * 7 + ((p // 8) * height // 8) * 13) % 256 AS VARCHAR)) AS ls
+           FROM dims)
+         SELECT doc_id, md5(array_to_string(ls, ',')) AS resized_digest FROM lum""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * feature-extract / frame-sample as per-partition batch transforms
   * (the Scala analog of `mapInPandas` batch UDFs).
   *
-  * The decode step is a STUB — no image/audio codecs exist in this
-  * container — producing deterministic md5-derived pseudo-features, so
-  * the Spark-side plumbing (binary column, schema, partitioning, batch
-  * iterator shape) is real and oracle-checkable while the codec call is
+  * Image decode is REAL (the JDK ships a PNG codec — see
+  * [[MultimodalOps.decodeImages]]); the audio/video decode below stays
+  * a clearly-marked STUB (no audio/video codecs in the JDK) producing
+  * deterministic md5-derived pseudo-features, so the Spark-side
+  * plumbing (binary column, schema, partitioning, batch iterator
+  * shape) is real and oracle-checkable while the codec call is
   * swappable.
   */
 object MultimodalOps {
@@ -74,4 +76,98 @@ object MultimodalOps {
 
   def framesQuery(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(decodeFeatures(mediaFromDocuments(spark, dir)))
+
+  // ------------------------------------------------------------------
+  // REAL image decode — the JDK ships a PNG codec (javax.imageio), so
+  // the image modality needs no stub: deterministic grayscale PNGs are
+  // synthesized per doc, and the operator decodes ACTUAL pixels. The
+  // oracle recomputes the expected stats from the generation formula —
+  // decode must invert encode exactly (PNG is lossless) for the query
+  // to pass. Audio/video stay stubbed (no codecs for them in the JDK).
+  // ------------------------------------------------------------------
+
+  final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                                 luma_sum: Long)
+
+  /** Deterministic grayscale test image for doc `id`: dimensions and
+    * every pixel derive from `id` alone, so expected decoded stats are
+    * pure arithmetic. luma(x, y) = (id*31 + x*7 + y*13) mod 256.
+    */
+  def genPng(docId: Long): Array[Byte] = {
+    val w = 16 + (docId % 16).toInt
+    val h = 16 + ((docId * 3) % 16).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val l = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def imagesFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "image", genPng(id))))
+  }
+
+  /** Batched REAL decode: per-partition iterator over the binary
+    * column, one ImageIO decode per row (codec state per batch — the
+    * mapInPandas shape). Emits actual pixel statistics.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+          y += 1
+        }
+        ImageFeatures(m.doc_id, w, h, sum)
+      }
+    }
+  }
+
+  /** Nearest-neighbor resize to 8×8 over the REAL decoded pixels; the
+    * digest is md5 of the row-major comma-joined luma values, so the
+    * oracle can derive it from the generation formula.
+    */
+  def resizeImages(media: Dataset[MediaRow], side: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val lumas = for (yi <- 0 until side; xi <- 0 until side) yield {
+          val sx = xi * w / side
+          val sy = yi * h / side
+          img.getRGB(sx, sy) & 0xFF
+        }
+        (m.doc_id, org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(lumas.mkString(",")))
+      }
+    }.toDF("doc_id", "resized_digest")
+  }
+
+  def imageDecodeQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeImages(imagesFromDocuments(spark, dir)).toDF()
+
+  def imageResizeQuery(spark: SparkSession, dir: String): DataFrame =
+    resizeImages(imagesFromDocuments(spark, dir))
 }
