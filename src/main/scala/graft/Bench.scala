@@ -28,18 +28,22 @@ object Bench {
         } catch { case _: Throwable => None }
       }
       val ok = reps.flatten
+      // ANY failed rep flags the query (an intermittent throw must not
+      // hide behind a surviving rep); wall still reports the best
+      // successful rep when one exists
       name -> (if (ok.isEmpty) QueryResult(-1.0, 0L, failed = true)
-               else QueryResult(ok.map(_._1).min, ok.head._2, failed = false))
+               else QueryResult(ok.map(_._1).min, ok.head._2,
+                 failed = ok.size < reps.size))
     }
     def jmap(f: QueryResult => String): String =
       results.map { case (k, v) => s"\"$k\":${f(v)}" }.mkString("{", ",", "}")
     val qs = jmap(_.wall.toString)
     val rows = jmap(_.rows.toString)
-    val rps = jmap(r => if (r.failed || r.wall <= 0) "0"
+    val rps = jmap(r => if (r.wall <= 0) "0"
                         else (r.rows / r.wall).round.toString)
     val failed = results.collect { case (k, r) if r.failed => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.values.filterNot(_.failed).map(_.wall).sum
+    val total = results.values.map(_.wall).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"rows_per_sec":$rps,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -36,7 +36,7 @@ object MstrJoinPipeline {
 
   // ---- stage records (all non-recursive → Catalyst-encodable) ----
 
-  final case class PageHtml(file: String, html: String)
+  final case class PageHtml(file: String, url: String, html: String)
 
   final case class ReportReq(file: String, name: String, href: String)
   final case class DsReq(report_id: String, ds_ord: Int, ds_name: String,
@@ -140,7 +140,7 @@ object MstrJoinPipeline {
 
     val pages: Dataset[PageHtml] = pagesDs
       .filter(p => !indexFiles.contains(fileName(p.url)))
-      .map(p => PageHtml(fileName(p.url), TextOps.decodeLatin1(p.html)))
+      .map(p => PageHtml(fileName(p.url), p.url, TextOps.decodeLatin1(p.html)))
 
     /** One pass: requests grouped per file (small side, broadcast),
       * inner-joined against the pages table; each matched page is
@@ -163,7 +163,14 @@ object MstrJoinPipeline {
         implicit grouped: Encoder[(String, Seq[R])]): Dataset[O] = {
       val perFile = reqs.groupByKey(fileOf).mapGroups((file, it) => (file, it.toSeq))
       pages.joinWith(broadcast(perFile), pages("file") === perFile("_1"))
-        .flatMap { case (pg, (_, rs)) => f(Soup.parse(pg.html), bIdx.value, rs) }
+        // duplicate base names keep the greatest-url row — the same
+        // deterministic rule as corpusFromPages, so both plans agree on
+        // corpora with repeated file names. The dedup groups only the
+        // request-MATCHED rows (entity-scale); the corpus-sized pages
+        // side still streams through the broadcast join unshuffled.
+        .groupByKey(_._1.file)
+        .reduceGroups((a, b) => if (a._1.url >= b._1.url) a else b)
+        .flatMap { case (_, (pg, (_, rs))) => f(Soup.parse(pg.html), bIdx.value, rs) }
     }
 
     // ---- stage R: report skeletons + dataset routing ----
@@ -337,15 +344,22 @@ object MstrJoinPipeline {
     var nFrontier = dOut.select(count(col("metric"))).first().getLong(0)
     var mnodeFrags = spark.emptyDataset[Frag]
     var factReqs = spark.emptyDataset[FactReq]
+    val persisted = scala.collection.mutable.ArrayBuffer[Dataset[_]](rOut, dOut)
     var depth = 0
     while (nFrontier > 0 && depth < 64) {
       depth += 1
       val out = stage(frontier)(_.file)(metricStage).persist()
+      persisted += out
       nFrontier = out.select(count(col("child"))).first().getLong(0)
       mnodeFrags = mnodeFrags.union(out.flatMap(_.frag))
       factReqs = factReqs.union(out.flatMap(_.factReq))
       frontier = out.flatMap(_.child)
     }
+    // a >64-deep acyclic composite chain must fail LOUDLY, not emit a
+    // silently truncated tree diverging from the broadcast-path engine
+    if (nFrontier > 0)
+      throw new IllegalStateException(
+        s"composite-metric recursion exceeded depth 64 with $nFrontier pending requests")
 
     // ---- stage F: fact pages → logic tables (fact_parser.py) ----
     val factFrags = stage(factReqs)(_.file) { (soup, idx, rs) =>
@@ -399,6 +413,10 @@ object MstrJoinPipeline {
     // shuffle width; callers get the cached result
     val result = assembled.persist()
     result.count()
+    // the intermediate caches served their purpose during assembly —
+    // release them so repeated run() calls don't pin blocks for the
+    // session lifetime (the result itself stays cached)
+    persisted.foreach(_.unpersist(blocking = false))
     result
   }
 

@@ -113,19 +113,41 @@ object MstrMain {
     spark.sparkContext.setLogLevel("WARN")
     try {
       import spark.implicits._
-      val pages: Seq[PageRow] = cfg.pagesPath match {
-        case Some(p) => spark.read.parquet(p).as[PageRow].collect().toSeq
-        case None => graft.fixtures.MstrCorpus.pages
-      }
-      val (n, reports) = execute(spark, pages, cfg)
-      if (cfg.dryRun) println(s"Found $n reports" +
-        cfg.filter.map(f => s" (filtered by '$f')").getOrElse(""))
-      else {
-        println(s"Extracted ${reports.size} report(s) of $n selected")
-        cfg.outputJson.foreach { out =>
-          spark.createDataset(reports).toDF().write.mode("overwrite").parquet(out)
-          println(s"JSON export completed: $out")
-        }
+      cfg.pagesPath match {
+        case Some(p) =>
+          // an external pages table may be arbitrarily large: route it
+          // through the join-based plan (distributed pages; only the
+          // index files are collected) instead of collect + broadcast.
+          // Selection flags don't apply here — the join plan extracts
+          // the full work list (narrow by pre-filtering the table).
+          val pagesDs = spark.read.parquet(p).as[PageRow]
+          if (cfg.dryRun) {
+            val loc = MstrLocale.forLang(cfg.lang)
+            val idxPages = pagesDs.filter((r: PageRow) =>
+              r.url.endsWith("/" + loc.documento) || r.url == loc.documento).collect()
+            val n = MstrPipeline.buildIndexes(
+              MstrPipeline.corpusFromPages(idxPages.toSeq), loc).documento.links.size
+            println(s"Found $n reports")
+          } else {
+            val reports = MstrJoinPipeline.run(spark, pagesDs, cfg.lang)
+            println(s"Extracted ${reports.count()} report(s)")
+            cfg.outputJson.foreach { out =>
+              reports.toDF().write.mode("overwrite").parquet(out)
+              println(s"JSON export completed: $out")
+            }
+          }
+        case None =>
+          val pages = graft.fixtures.MstrCorpus.pages
+          val (n, reports) = execute(spark, pages, cfg)
+          if (cfg.dryRun) println(s"Found $n reports" +
+            cfg.filter.map(f => s" (filtered by '$f')").getOrElse(""))
+          else {
+            println(s"Extracted ${reports.size} report(s) of $n selected")
+            cfg.outputJson.foreach { out =>
+              spark.createDataset(reports).toDF().write.mode("overwrite").parquet(out)
+              println(s"JSON export completed: $out")
+            }
+          }
       }
     } finally spark.stop()
   }

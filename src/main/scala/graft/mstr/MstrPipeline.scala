@@ -36,9 +36,13 @@ object MstrPipeline {
 
   /** Parse corpus pages (url "mstr://corpus/<fileName>") into
     * (fileName → html string) with the pinned Latin-1 decode (§1.2).
+    * Duplicate base names keep the row with the GREATEST url — a
+    * deterministic rule shared with the join-based plan
+    * ([[MstrJoinPipeline]]) so both paths stay byte-identical on
+    * corpora with repeated file names.
     */
   def corpusFromPages(pages: Seq[PageRow]): Map[String, String] =
-    pages.map { p =>
+    pages.sortBy(_.url).map { p =>
       val name = p.url.substring(p.url.lastIndexOf('/') + 1)
       name -> TextOps.decodeLatin1(p.html)
     }.toMap
@@ -58,40 +62,49 @@ object MstrPipeline {
   /** Distributed extraction: report work-list → Dataset[ReportJsonRow].
     * Dims + content broadcast; reports spread by hash of id.
     */
-  def run(spark: SparkSession, pages: Seq[PageRow], lang: String = "pt-BR",
-          numPartitions: Int = 0,
-          envId: String = GraphFlatten.DefaultEnvId,
-          envName: String = GraphFlatten.DefaultEnvName,
-          selection: Option[Seq[LinkResult]] = None): (Dataset[ReportJsonRow], Dataset[NodeRow], Dataset[EdgeRow]) = {
+  /** Shared distribution scaffold for every per-report pass: broadcast
+    * corpus + indexes once, spread the (possibly narrowed) work list,
+    * and run `f` against a per-partition engine (per-partition parse
+    * cache — the X1 global-cache analog).
+    */
+  private def mapReports[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, pages: Seq[PageRow], lang: String,
+      numPartitions: Int, selection: Option[Seq[LinkResult]])(
+      f: (MstrEngine, LinkResult) => IterableOnce[T]): Dataset[T] = {
     import spark.implicits._
     val loc = MstrLocale.forLang(lang)
     val corpus = corpusFromPages(pages)
     val indexes = buildIndexes(corpus, loc)
     val bCorpus = spark.sparkContext.broadcast(corpus)
     val bIndexes = spark.sparkContext.broadcast(indexes)
-
     // selection = the CLI's --filter/--report/--report-id narrowed
     // work-list (mstr-extractor.py:139-180); default = all reports
     val workList = selection.getOrElse(indexes.documento.links)
-    val reports0 = spark.createDataset(workList)
+    val reports0 = spark.createDataset(workList.toSeq)
     val reports = if (numPartitions > 0) reports0.repartition(numPartitions) else reports0
+    reports.mapPartitions { it =>
+      val parseCache = scala.collection.mutable.Map.empty[String, Option[Soup]]
+      val files: String => Option[Soup] = file =>
+        parseCache.getOrElseUpdate(file, bCorpus.value.get(file).map(Soup.parse))
+      val engine = new MstrEngine(bIndexes.value, files, loc)
+      it.flatMap(info => f(engine, info))
+    }
+  }
 
-    val extracted: Dataset[(ReportJsonRow, Array[NodeRow], Array[EdgeRow])] =
-      reports.mapPartitions { it =>
-        // per-partition parse cache — the X1 global-cache analog
-        val parseCache = scala.collection.mutable.Map.empty[String, Option[Soup]]
-        val files: String => Option[Soup] = f =>
-          parseCache.getOrElseUpdate(f, bCorpus.value.get(f).map(Soup.parse))
-        val engine = new MstrEngine(bIndexes.value, files, loc)
-        it.flatMap { info =>
-          engine.extractReport(info).map { r =>
-            val (nodes, edges) = GraphFlatten.flatten(r, envId, envName)
-            (ReportJsonRow(r.id, r.name, r.filePath, JsonExport.exportOne(r)),
-              nodes.toArray, edges.toArray)
-          }
+  def run(spark: SparkSession, pages: Seq[PageRow], lang: String = "pt-BR",
+          numPartitions: Int = 0,
+          envId: String = GraphFlatten.DefaultEnvId,
+          envName: String = GraphFlatten.DefaultEnvName,
+          selection: Option[Seq[LinkResult]] = None): (Dataset[ReportJsonRow], Dataset[NodeRow], Dataset[EdgeRow]) = {
+    import spark.implicits._
+    val extracted = mapReports(spark, pages, lang, numPartitions, selection) {
+      (engine, info) =>
+        engine.extractReport(info).map { r =>
+          val (nodes, edges) = GraphFlatten.flatten(r, envId, envName)
+          (ReportJsonRow(r.id, r.name, r.filePath, JsonExport.exportOne(r)),
+            nodes.toArray, edges.toArray)
         }
-      }
-
+    }
     val cached = extracted.cache()
     (cached.map(_._1),
       cached.flatMap(_._2.toSeq),
@@ -106,19 +119,8 @@ object MstrPipeline {
   def validation(spark: SparkSession, pages: Seq[PageRow], lang: String = "pt-BR",
                  numPartitions: Int = 0): Dataset[ViolationRow] = {
     import spark.implicits._
-    val loc = MstrLocale.forLang(lang)
-    val corpus = corpusFromPages(pages)
-    val indexes = buildIndexes(corpus, loc)
-    val bCorpus = spark.sparkContext.broadcast(corpus)
-    val bIndexes = spark.sparkContext.broadcast(indexes)
-    val reports0 = spark.createDataset(indexes.documento.links)
-    val reports = if (numPartitions > 0) reports0.repartition(numPartitions) else reports0
-    reports.mapPartitions { it =>
-      val parseCache = scala.collection.mutable.Map.empty[String, Option[Soup]]
-      val files: String => Option[Soup] = f =>
-        parseCache.getOrElseUpdate(f, bCorpus.value.get(f).map(Soup.parse))
-      val engine = new MstrEngine(bIndexes.value, files, loc)
-      it.flatMap(info => engine.extractReport(info).toSeq.flatMap(Validator.validate))
+    mapReports(spark, pages, lang, numPartitions, None) { (engine, info) =>
+      engine.extractReport(info).toSeq.flatMap(Validator.validate)
     }
   }
 

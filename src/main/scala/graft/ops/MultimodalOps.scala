@@ -127,18 +127,22 @@ object MultimodalOps {
   def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      batch.map { m =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.payload))
-        val (w, h) = (img.getWidth, img.getHeight)
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
-          y += 1
+      // ImageIO.read returns null (no exception) for undecodable bytes:
+      // a corrupt payload skips the row instead of NPE-ing the task —
+      // the missing-input drop semantics of the rest of the engine
+      batch.flatMap { m =>
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+            y += 1
+          }
+          ImageFeatures(m.doc_id, w, h, sum)
         }
-        ImageFeatures(m.doc_id, w, h, sum)
       }
     }
   }
@@ -150,17 +154,18 @@ object MultimodalOps {
   def resizeImages(media: Dataset[MediaRow], side: Int = 8): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      batch.map { m =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.payload))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val lumas = for (yi <- 0 until side; xi <- 0 until side) yield {
-          val sx = xi * w / side
-          val sy = yi * h / side
-          img.getRGB(sx, sy) & 0xFF
+      batch.flatMap { m =>
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val lumas = for (yi <- 0 until side; xi <- 0 until side) yield {
+            val sx = xi * w / side
+            val sy = yi * h / side
+            img.getRGB(sx, sy) & 0xFF
+          }
+          (m.doc_id, org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(lumas.mkString(",")))
         }
-        (m.doc_id, org.apache.commons.codec.digest.DigestUtils
-          .md5Hex(lumas.mkString(",")))
       }
     }.toDF("doc_id", "resized_digest")
   }

@@ -148,7 +148,11 @@ final class TableIO(root: String) {
     * [[mergeByKey]]/[[pending]]. No-op (None) on an empty table.
     */
   def deleteWhere(spark: SparkSession, condition: org.apache.spark.sql.Column): Option[Snapshot] =
-    readTable(spark).map(committed => replaceWith(committed.filter(!condition)))
+    // SQL DELETE semantics: remove rows where the condition is TRUE;
+    // rows where it evaluates NULL (e.g. a NULL key against isin) are
+    // survivors — a bare !condition would silently destroy them
+    readTable(spark).map(committed =>
+      replaceWith(committed.filter(!coalesce(condition, lit(false)))))
 
   /** Key-list convenience over [[deleteWhere]] (delete one report's /
     * environment's rows by id).

@@ -42,6 +42,26 @@ class MstrJoinSpec extends AnyFunSuite {
     assert(a == b, "corrupted-corpus extraction must be partition-invariant")
   }
 
+  test("duplicate base names resolve by greatest url in BOTH plans (byte-identical)") {
+    import spark.implicits._
+    // shadow every content page with an earlier-url garbage twin: the
+    // greatest-url rule must pick the real page in both plans
+    val shadowed = MstrCorpus.pages.flatMap { p =>
+      val name = p.url.substring(p.url.lastIndexOf('/') + 1)
+      Seq(p.copy(url = s"mstr://aaa/$name",
+        html = "<html>junk twin</html>".getBytes("ISO-8859-1")), p)
+    }
+    val viaBroadcast = MstrPipeline.run(spark, shadowed, "pt-BR")._1
+      .collect().map(r => r.report_id -> r.json).toMap
+    val clean = MstrPipeline.run(spark, MstrCorpus.pages, "pt-BR")._1
+      .collect().map(r => r.report_id -> r.json).toMap
+    assert(viaBroadcast == clean, "broadcast plan must keep the greatest-url page")
+    val viaJoin = MstrJoinPipeline.run(spark,
+      spark.createDataset(shadowed).repartition(4), "pt-BR")
+      .collect().map(r => r.report_id -> r.json).toMap
+    assert(viaJoin == clean, "join plan must keep the greatest-url page")
+  }
+
   test("join path drops reports whose content page is missing (engine None semantics)") {
     import spark.implicits._
     val docFile = graft.mstr.MstrLocale.ptBR.documento

@@ -145,6 +145,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(table() == Set(("r1", "a", 10), ("r1", "b", 20), ("r2", "c", 3)))
   }
 
+  test("deleteWhere keeps NULL-condition rows (SQL DELETE semantics)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-delnull").toString
+    val io = new TableIO(root)
+    io.appendSnapshot(Seq((Some("r1"), 1), (None, 2), (Some("r2"), 3))
+      .toDF("report_id", "v"))
+    // isin() is NULL for the NULL-keyed row — it must SURVIVE the delete
+    io.deleteByKeys(spark, "report_id", Seq("r1"))
+    val rows = io.readTable(spark).get.select("report_id", "v")
+      .as[(Option[String], Int)].collect().toSet
+    assert(rows == Set((None, 2), (Some("r2"), 3)))
+  }
+
   test("rollbackTo restores a prior snapshot; post-rollback commits keep unique ids") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-rb").toString
