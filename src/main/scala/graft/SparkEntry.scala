@@ -72,6 +72,7 @@ object SparkEntry {
     "q_domain_cap" -> ((s, d) => CorpusOps.domainCap(s, d)),
     "q_decontaminate" -> ((s, d) => CorpusOps.decontaminate(s, d)),
     "q_repetition" -> ((s, d) => CorpusOps.repetitionStats(s, d)),
+    "q_sample_strat" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
     // ---- text analysis ----
     "q_langid" -> ((s, d) => TextAnalysisOps.langId(s, d)),
     "q_langid_acc" -> ((s, d) => TextAnalysisOps.langIdAccuracy(s, d)),
@@ -336,6 +337,14 @@ object SparkEntry {
                 round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac,
                 (round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 4) <= 0.18) AS repetition_ok
          FROM agg""",
+
+    "q_sample_strat" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+               CASE lang WHEN 'en' THEN '80000000'
+                         WHEN 'pt' THEN 'e6666666'
+                         WHEN 'es' THEN '33333333'
+                         ELSE 'ffffffff' END""",
 
     "q_langid" -> langidOracle,
     "q_langid_acc" ->

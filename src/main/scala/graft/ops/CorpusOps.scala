@@ -63,6 +63,24 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("rn").cast("int").as("rn"))
   }
 
+  /** Deterministic stratified sampling — the training-mixture op: each
+    * language stratum keeps a fixed fraction of documents, chosen by an
+    * md5-derived uniform (first 8 hex chars of md5("samp:" || doc_id)).
+    * The per-stratum rate is a HEX STRING threshold (floor(rate·2^32)
+    * in fixed-width hex): lexicographic compare of equal-width hex
+    * equals numeric compare, so the sample is reproducible in any
+    * engine with md5 — no RNG, no seed drift, map-only at any scale.
+    * Rates: en 0.5, pt 0.9, es 0.2, everything else kept.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = substring(md5(concat(lit("samp:"), col("doc_id").cast("string"))), 1, 8)
+    val thr = when(col("lang") === "en", lit("80000000"))
+      .when(col("lang") === "pt", lit("e6666666"))
+      .when(col("lang") === "es", lit("33333333"))
+      .otherwise(lit("ffffffff"))
+    docs(spark, dir).filter(u < thr).select(col("doc_id"), col("lang"))
+  }
+
   /** Word k-grams from a pre-split words column (document-local).
     * `ws` MUST be a projected attribute, not an inline `split(...)`
     * expression: the lambda references it k times and higher-order
