@@ -70,6 +70,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_domain_cap: map-side partial top-k (WindowGroupLimit) before the exchange") {
+    val p = plan("q_domain_cap")
+    val partial = p.indexOf("WindowGroupLimit")
+    val exchange = p.indexOf("Exchange")
+    assert(partial >= 0, "rank filter must compile to WindowGroupLimit")
+    assert(p.contains("Partial"), "expected the partial (map-side) top-k pass")
+    // scan pruned to the three columns the query touches
+    assert(!p.contains("text#"), "documents scan must not read text")
+  }
+
   test("q1_agg: partial (map-side) aggregation before the exchange") {
     val p = plan("q1_agg")
     val firstHashAgg = p.indexOf("HashAggregate")
