@@ -73,6 +73,7 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => CorpusOps.decontaminate(s, d)),
     "q_repetition" -> ((s, d) => CorpusOps.repetitionStats(s, d)),
     "q_sample_strat" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
+    "q_pack" -> ((s, d) => CorpusOps.packSequences(s, d)),
     // ---- text analysis ----
     "q_langid" -> ((s, d) => TextAnalysisOps.langId(s, d)),
     "q_langid_acc" -> ((s, d) => TextAnalysisOps.langIdAccuracy(s, d)),
@@ -345,6 +346,21 @@ object SparkEntry {
                          WHEN 'pt' THEN 'e6666666'
                          WHEN 'es' THEN '33333333'
                          ELSE 'ffffffff' END""",
+
+    "q_pack" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id // 256 AS bucket,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, bucket, n_tokens,
+                  coalesce(CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
+           FROM t)
+         SELECT doc_id, bucket, n_tokens,
+                start_tok // 4096 AS pack_id,
+                start_tok % 4096 AS pack_offset
+         FROM c""",
 
     "q_langid" -> langidOracle,
     "q_langid_acc" ->

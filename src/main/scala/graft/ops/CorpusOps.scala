@@ -81,6 +81,29 @@ object CorpusOps {
     docs(spark, dir).filter(u < thr).select(col("doc_id"), col("lang"))
   }
 
+  /** Sequence packing for pretraining — chunked-concat model: within
+    * each doc_id-range bucket, documents concatenate in id order and the
+    * token stream is cut into fixed-capacity packs; each doc gets its
+    * (bucket, pack_id, pack_offset). Buckets are INDEPENDENT, so the
+    * cumulative-sum window partitions by bucket — no global sort, and at
+    * 10^12 docs the shuffle is an ordinary hash exchange on bucket with
+    * per-bucket sorts of bounded size (bucketSize docs). All integer
+    * arithmetic → engine-portable.
+    */
+  def packSequences(spark: SparkSession, dir: String, capacity: Int = 4096,
+                    bucketSize: Int = 256): DataFrame = {
+    val d = docs(spark, dir).select(
+      col("doc_id"),
+      (col("doc_id") / bucketSize).cast("long").as("bucket"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        floor(col("start_tok") / capacity).as("pack_id"),
+        (col("start_tok") % capacity).as("pack_offset"))
+  }
+
   /** Word k-grams from a pre-split words column (document-local).
     * `ws` MUST be a projected attribute, not an inline `split(...)`
     * expression: the lambda references it k times and higher-order
