@@ -2,9 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main: one JSON line with per-query best-of-N
-  * walls, row counts, and rows/sec. A query that throws is recorded in
-  * `failed` and its wall reported as -1 — a failure can never shadow a
-  * regression by logging a fast bogus wall.
+  * walls, row counts, and rows/sec. A query that throws on ANY rep is
+  * listed in `failed` (an intermittent throw can't hide behind a
+  * surviving rep); its wall is the best successful rep when one
+  * exists, else -1 and excluded from the total — a hard failure can
+  * never shadow a regression by logging a fast bogus wall.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

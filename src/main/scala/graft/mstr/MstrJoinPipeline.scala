@@ -3,7 +3,7 @@ package graft.mstr
 import graft.pipeline.PageRow
 import graft.text.TextOps
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count}
+import org.apache.spark.sql.functions.{broadcast, col, count, substring_index}
 import scala.collection.mutable
 
 /** Join-based MSTR extraction for corpora too big to broadcast — the
@@ -104,11 +104,18 @@ object MstrJoinPipeline {
     * internal exchange here carries entity-scale request/fragment rows
     * (never pages), so a narrow width collapses the orchestration
     * latency of the many small jobs on small corpora; raise it when the
-    * entity count warrants. The pages scan itself is never shuffled.
+    * entity count warrants. The pages scan itself is never shuffled
+    * (duplicate-basename anomalies excepted — see the dedup pass).
+    *
+    * The returned Dataset is PERSISTED (run() materializes eagerly so
+    * all internal jobs execute under the scoped conf); a long-lived
+    * session issuing many runs should `unpersist()` results it is done
+    * with.
     */
   def run(spark: SparkSession, pagesDs: Dataset[PageRow],
           lang: String = "pt-BR",
-          internalShufflePartitions: Int = 4): Dataset[ReportJsonRow] = {
+          internalShufflePartitions: Int = 4,
+          select: Option[LinkIndex => Seq[LinkResult]] = None): Dataset[ReportJsonRow] = {
     import spark.implicits._
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
@@ -117,7 +124,7 @@ object MstrJoinPipeline {
     // compilation per plan costs more than interpreted eval saves here
     // (the expensive work — html parsing — is opaque to codegen anyway)
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try runScoped(spark, pagesDs, lang)
+    try runScoped(spark, pagesDs, lang, select)
     finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
@@ -125,7 +132,8 @@ object MstrJoinPipeline {
   }
 
   private def runScoped(spark: SparkSession, pagesDs: Dataset[PageRow],
-                        lang: String): Dataset[ReportJsonRow] = {
+                        lang: String,
+                        select: Option[LinkIndex => Seq[LinkResult]]): Dataset[ReportJsonRow] = {
     import spark.implicits._
     val loc = MstrLocale.forLang(lang)
     val indexFiles: Set[String] = Set(loc.documento, loc.relatorio, loc.cuboInteligente,
@@ -138,9 +146,33 @@ object MstrJoinPipeline {
       MstrPipeline.corpusFromPages(indexPages.toSeq), loc)
     val bIdx = spark.sparkContext.broadcast(indexes)
 
-    val pages: Dataset[PageHtml] = pagesDs
+    val pagesRaw: Dataset[PageHtml] = pagesDs
       .filter(p => !indexFiles.contains(fileName(p.url)))
       .map(p => PageHtml(fileName(p.url), p.url, TextOps.decodeLatin1(p.html)))
+
+    // Duplicate-basename dedup (greatest url wins — same rule as
+    // corpusFromPages) happens ONCE, and only anomalous files pay: the
+    // detection pass aggregates the url column alone (scan pruned to
+    // url, html never read or shuffled), and the keyed max-url
+    // reduction runs only over the flagged files. Corpora with unique
+    // file keys skip the reduction entirely — the pages side then
+    // streams through every stage join unshuffled.
+    val dupFiles: Set[String] = pagesDs.toDF()
+      .select(substring_index(col("url"), "/", -1).as("file"))
+      .filter(!col("file").isin(indexFiles.toSeq: _*))
+      .groupBy(col("file")).agg(count(col("file")).as("n"))
+      .filter(col("n") > 1).select(col("file")).as[String].collect().toSet
+    val pages: Dataset[PageHtml] =
+      if (dupFiles.isEmpty) pagesRaw
+      else {
+        val bDup = spark.sparkContext.broadcast(dupFiles)
+        val clean = pagesRaw.filter(p => !bDup.value.contains(p.file))
+        val dedupedDups = pagesRaw.filter(p => bDup.value.contains(p.file))
+          .groupByKey(_.file)
+          .reduceGroups((a, b) => if (a.url >= b.url) a else b)
+          .map(_._2)
+        clean.union(dedupedDups)
+      }
 
     /** One pass: requests grouped per file (small side, broadcast),
       * inner-joined against the pages table; each matched page is
@@ -162,20 +194,20 @@ object MstrJoinPipeline {
         f: (Soup, MstrIndexes, Seq[R]) => Seq[O])(
         implicit grouped: Encoder[(String, Seq[R])]): Dataset[O] = {
       val perFile = reqs.groupByKey(fileOf).mapGroups((file, it) => (file, it.toSeq))
+      // pages was already deduped once up front, so this join sees at
+      // most one row per file and the parse runs map-side at scan
+      // parallelism — no page row ever crosses an exchange
       pages.joinWith(broadcast(perFile), pages("file") === perFile("_1"))
-        // duplicate base names keep the greatest-url row — the same
-        // deterministic rule as corpusFromPages, so both plans agree on
-        // corpora with repeated file names. The dedup groups only the
-        // request-MATCHED rows (entity-scale); the corpus-sized pages
-        // side still streams through the broadcast join unshuffled.
-        .groupByKey(_._1.file)
-        .reduceGroups((a, b) => if (a._1.url >= b._1.url) a else b)
-        .flatMap { case (_, (pg, (_, rs))) => f(Soup.parse(pg.html), bIdx.value, rs) }
+        .flatMap { case (pg, (_, rs)) => f(Soup.parse(pg.html), bIdx.value, rs) }
     }
 
     // ---- stage R: report skeletons + dataset routing ----
+    // `select` = the CLI's --filter/--report/--report-id narrowing,
+    // applied to the work list exactly as in MstrPipeline.run
+    val workLinks = select.map(f => f(indexes.documento))
+      .getOrElse(indexes.documento.links)
     val reportReqs = spark.createDataset(
-      indexes.documento.links.map(l => ReportReq(l.file, l.name, l.href)))
+      workLinks.map(l => ReportReq(l.file, l.name, l.href)).toSeq)
 
     val rOut = stage(reportReqs)(_.file) { (soup, idx, rs) =>
       rs.flatMap { rq =>

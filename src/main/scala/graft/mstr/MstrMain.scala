@@ -118,18 +118,22 @@ object MstrMain {
           // an external pages table may be arbitrarily large: route it
           // through the join-based plan (distributed pages; only the
           // index files are collected) instead of collect + broadcast.
-          // Selection flags don't apply here — the join plan extracts
-          // the full work list (narrow by pre-filtering the table).
+          // The selection flags narrow the work list exactly as in the
+          // broadcast plan — selection is index-driven, never a corpus
+          // scan.
           val pagesDs = spark.read.parquet(p).as[PageRow]
           if (cfg.dryRun) {
             val loc = MstrLocale.forLang(cfg.lang)
             val idxPages = pagesDs.filter((r: PageRow) =>
               r.url.endsWith("/" + loc.documento) || r.url == loc.documento).collect()
-            val n = MstrPipeline.buildIndexes(
-              MstrPipeline.corpusFromPages(idxPages.toSeq), loc).documento.links.size
-            println(s"Found $n reports")
+            val index = MstrPipeline.buildIndexes(
+              MstrPipeline.corpusFromPages(idxPages.toSeq), loc).documento
+            val n = selectReports(index, cfg).size
+            println(s"Found $n reports" +
+              cfg.filter.map(f => s" (filtered by '$f')").getOrElse(""))
           } else {
-            val reports = MstrJoinPipeline.run(spark, pagesDs, cfg.lang)
+            val reports = MstrJoinPipeline.run(spark, pagesDs, cfg.lang,
+              select = Some(idx => selectReports(idx, cfg)))
             println(s"Extracted ${reports.count()} report(s)")
             cfg.outputJson.foreach { out =>
               reports.toDF().write.mode("overwrite").parquet(out)

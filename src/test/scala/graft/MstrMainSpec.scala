@@ -54,6 +54,20 @@ class MstrMainSpec extends AnyFunSuite {
     assert(MstrMain.selectReports(index, c).map(_.name) == Seq("Relatório Vazio"))
   }
 
+  test("selection narrows the join-based plan identically (--pages path)") {
+    import spark.implicits._
+    val pagesDs = spark.createDataset(MstrCorpus.pages).repartition(3)
+    val cfg = Config(reportId = Some(RID))
+    val joined = graft.mstr.MstrJoinPipeline.run(spark, pagesDs, "pt-BR",
+      select = Some(idx => MstrMain.selectReports(idx, cfg)))
+      .collect()
+    assert(joined.map(_.report_id).toSeq == Seq(RID))
+    // same single report as the broadcast plan produces for that id
+    val viaBroadcast = MstrPipeline.run(spark, MstrCorpus.pages, "pt-BR")._1
+      .collect().filter(_.report_id == RID)
+    assert(joined.head.json == viaBroadcast.head.json)
+  }
+
   test("--dry-run counts without extracting; selection drives extraction") {
     val (nDry, none) = MstrMain.execute(spark, MstrCorpus.pages,
       Config(dryRun = true, filter = Some("relatório")))
