@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.MstrGen
+import graft.mstr.{MstrJoinPipeline, MstrPipeline}
+
+/** Scaled-corpus evidence the 2-report fixture can't give: on a
+  * generated 30-report export (many sections per file, cross-report
+  * metric/dataset reuse, embedded metrics) both physical plans must
+  * produce byte-identical JSON, clean integrity, and the expected
+  * entity counts.
+  */
+class MstrGenSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val N = 30
+
+  test("generated corpus: broadcast and join plans byte-identical, integrity clean") {
+    import spark.implicits._
+    val pages = MstrGen.pages(N)
+    val (reports, nodes, edges) = MstrPipeline.run(spark, pages, "pt-BR", numPartitions = 4)
+    val viaBroadcast = reports.collect().map(r => r.report_id -> r.json).toMap
+    assert(viaBroadcast.size == N)
+
+    // A10 integrity: no (label, id) with conflicting names at scale
+    assert(MstrPipeline.duplicateIdCheck(nodes).count() == 0)
+
+    // summary sanity: every report extracted, entity pools as sized
+    val summary = MstrPipeline.summary(nodes, edges).as[(String, Long)].collect().toMap
+    assert(summary("Report") == N)
+    assert(summary("Environment") == 1)
+    assert(summary("User") == 3)
+    // every cube references a composite whose children recurse
+    assert(summary("COMPOSED_OF") > 0)
+    // embedded metrics appear (every 7th cube links a non-indexed id)
+    val embedded = nodes.filter(_.extra.startsWith("embedded")).count()
+    assert(embedded > 0)
+
+    val viaJoin = MstrJoinPipeline.run(spark,
+      spark.createDataset(pages).repartition(8), "pt-BR")
+      .collect().map(r => r.report_id -> r.json).toMap
+    assert(viaJoin.keySet == viaBroadcast.keySet)
+    viaBroadcast.foreach { case (rid, json) =>
+      assert(viaJoin(rid) == json, s"report $rid diverged between plans")
+    }
+  }
+
+  test("generated corpus validation: only the embedded-metric tipo violations") {
+    val v = MstrPipeline.validation(spark, MstrGen.pages(N), "pt-BR", 4).collect()
+    val errors = v.filter(_.severity == "error")
+    // the deliberate embedded metrics are the only schema errors
+    assert(errors.nonEmpty && errors.forall(_.rule == "tipo_enum"),
+      s"unexpected errors: ${errors.filterNot(_.rule == "tipo_enum").take(5).toSeq}")
+  }
+}
