@@ -119,15 +119,20 @@ object MstrJoinPipeline {
     import spark.implicits._
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", internalShufflePartitions.toString)
     // the ~30 internal jobs are tiny and all distinct plans: janino
     // compilation per plan costs more than interpreted eval saves here
-    // (the expensive work — html parsing — is opaque to codegen anyway)
+    // (the expensive work — html parsing — is opaque to codegen anyway),
+    // and AQE's per-shuffle re-planning is pure overhead at a fixed
+    // 4-partition width
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try runScoped(spark, pagesDs, lang, select)
     finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 
