@@ -1,5 +1,6 @@
 package graft.fixtures
 
+import graft.mstr.MstrLocale
 import graft.pipeline.PageRow
 import java.sql.Timestamp
 
@@ -40,9 +41,22 @@ object MstrGen {
     val nRelDs: Int = math.max(1, nReports / 4) // report-type datasets
   }
 
-  def corpus(n: Int): Map[String, String] = {
+  /** Locale-dependent literal labels not covered by MstrLocale's
+    * structural tokens (reference i18n/pt_br.py, i18n/en_us.py).
+    */
+  private final case class Labels(simples: String, composto: String,
+                                  userHdr: String, accessHdr: String,
+                                  pageBy: String, chartValue: String)
+  private def labelsFor(loc: MstrLocale): Labels =
+    if (loc.code == "en-US")
+      Labels("Simple Metric", "Composite", "USER", "ACCESS", "PAGE BY", "Vertical Bar")
+    else
+      Labels("Métrica simples", "Composto", "USUÁRIO", "ACESSO", "PAGINAR POR", "Barra Vertical")
+
+  def corpus(n: Int, loc: MstrLocale = MstrLocale.ptBR): Map[String, String] = {
     val s = Sizes(n)
     import s._
+    val lb = labelsFor(loc)
 
     // ---- entity identities ----
     def repId(i: Int) = hid("rep", i)
@@ -92,26 +106,26 @@ object MstrGen {
       // (dataset sharing → cross-report metric reuse), every 4th gets a
       // report-type dataset
       val dsLinks = Seq(
-        Some(s"""<a href="CuboInteligente.html#${ph(cubeId(i))}">Gen Cubo $i</a>"""),
+        Some(s"""<a href="${loc.cuboInteligente}#${ph(cubeId(i))}">Gen Cubo $i</a>"""),
         if (i % 5 == 0 && i > 0)
-          Some(s"""<a href="CuboInteligente.html#${ph(cubeId(i - 1))}">Gen Cubo ${i - 1}</a>""")
+          Some(s"""<a href="${loc.cuboInteligente}#${ph(cubeId(i - 1))}">Gen Cubo ${i - 1}</a>""")
         else None,
         if (i % 4 == 0 && i / 4 < nRelDs)
-          Some(s"""<a href="Relatório.html#${ph(relDsId(i / 4))}">Gen RelDS ${i / 4}</a>""")
+          Some(s"""<a href="${loc.relatorio}#${ph(relDsId(i / 4))}">Gen RelDS ${i / 4}</a>""")
         else None).flatten.mkString("\n    ")
       s"""<tr><td><a name="${repId(i)}"></a>
          |<table>
-         |<tr valign="TOP"><td>Proprietário:</td><td>Gen User ${i % nUsers}</td></tr>
-         |<tr valign="TOP"><td>Controle de Acesso:</td><td>
+         |<tr valign="TOP"><td>${loc.proprietario}:</td><td>Gen User ${i % nUsers}</td></tr>
+         |<tr valign="TOP"><td>${loc.controleAcesso}:</td><td>
          |  <table>
-         |  <tr><td>USUÁRIO</td><td>ACESSO</td></tr>
+         |  <tr><td>${lb.userHdr}</td><td>${lb.accessHdr}</td></tr>
          |  <tr><td>Gen User ${(i + 1) % nUsers}</td><td>Full Control</td></tr>
          |  <tr><td>Gen User ${(i + 2) % nUsers}</td><td>View</td></tr>
          |  </table>
          |</td></tr>
          |</table>
          |</td>
-         |<td>DOCUMENT DEFINITION</td>
+         |<td>${loc.documentDefinition}</td>
          |<td><table><tr><td>
          |    $dsLinks
          |</td></tr></table></td>
@@ -135,9 +149,9 @@ object MstrGen {
         s"""\n        <a href="Metrica_1.html#${ph(embId(i))}">Gen Derived $i</a>"""
       else ""
       s"""<tr><td><a name="${cubeId(i)}"></a>
-         |<td>OBJETOS DE TEMPLATE</td>
+         |<td>${loc.objetosTemplate}</td>
          |<table>
-         |<tr><td>OBJETOS DO RELATÓRIO</td><td>LINHAS</td><td>COLUNAS</td><td>PAGINAR POR</td></tr>
+         |<tr><td>${loc.objetosRelatorio}</td><td>${loc.linhas}</td><td>${loc.colunas}</td><td>${lb.pageBy}</td></tr>
          |<tr><td></td>
          |    <td><a href="Atributo.html#${ph(attrId(a1))}">Gen Atributo $a1</a>
          |        <a href="Atributo.html#${ph(attrId(a2))}">Gen Atributo $a2</a></td>
@@ -163,8 +177,8 @@ object MstrGen {
            |<!--[ROWS]--><table><tr><td><a href="Atributo.html#${ph(attrId(i % nAttrs))}">Gen Atributo ${i % nAttrs}</a></td></tr></table>
            |<!--[COLUMNS]--><table><tr><td><a href="Metrica_1.html#${ph(metId(i % nSimple))}">Gen Metrica ${i % nSimple}</a></td></tr></table>
            |<table>
-           |<tr><td>OPÇÕES DO GRÁFICO</td></tr>
-           |<tr><td>Tipo de gráfico:</td><td>Barra Vertical</td></tr>
+           |<tr><td>${loc.opcoesGrafico}</td></tr>
+           |<tr><td>${loc.tipoGrafico}:</td><td>${lb.chartValue}</td></tr>
            |</table>
            |</td></tr>
            |</table></body></html>""".stripMargin
@@ -179,17 +193,17 @@ object MstrGen {
            |<table><tr><td><b>Descrição</b></td></tr></table>
            |<table><tr><td>VALORES</td><td>
            |  <table>
-           |  <tr><td>EXPRESSÃO</td><td>MÉTODO DE MAPEAMENTO</td><td>TABELAS FONTE</td></tr>
+           |  <tr><td>${loc.expressao}</td><td>MAP</td><td>${loc.tabelasFonte}</td></tr>
            |  </table>
            |</td></tr></table>""".stripMargin
       else ""
       s"""<tr><td><a name="${attrId(i)}"></a>
-         |${sectionHeader("DETALHES DOS FORMULÁRIOS DE ATRIBUTO")}
+         |${sectionHeader(loc.detalhesFormularios)}
          |<a name="${attrId(i)}_F1"></a>
          |<table><tr><td><b>ID</b></td></tr></table>
          |<table><tr><td>VALORES</td><td>
          |  <table>
-         |  <tr><td>EXPRESSÃO</td><td>MÉTODO DE MAPEAMENTO</td><td>TABELAS FONTE</td></tr>
+         |  <tr><td>${loc.expressao}</td><td>MAP</td><td>${loc.tabelasFonte}</td></tr>
          |  <tr><td>COD_$i</td><td>Manual</td><td><a href="GenTab_1.html#${ph(tabId(t))}">GT_TAB_$t</a></td></tr>
          |  </table>
          |</td></tr></table>$extraForm
@@ -204,23 +218,23 @@ object MstrGen {
 
     // ---- metric files (one per metric — formula-walk semantics) ----
     def tipoRow(v: String) =
-      s"""<table><tr><td>Tipo de métrica</td><td>$v</td></tr></table>"""
+      s"""<table><tr><td>${loc.tipoMetrica}</td><td>$v</td></tr></table>"""
     def metricDoc(anchor: String, body: String) =
-      s"""<html><body><table><tr><td><a name="$anchor"></a>${sectionHeader("DEFINIÇÃO")}$body</td></tr></table></body></html>"""
+      s"""<html><body><table><tr><td><a name="$anchor"></a>${sectionHeader(loc.definicao)}$body</td></tr></table></body></html>"""
 
     val simpleFiles: Map[String, String] = (0 until nSimple).map { i =>
       val f = i % nFacts
       metFile(i) -> metricDoc(metId(i),
-        tipoRow("Métrica simples") +
-          s"""<table><tr><td>FÓRMULA</td><td><img src="images/Function.bmp"><a href="GenFn_1.html#${ph(fnId)}">Soma</a> ( <img src="images/Fact.bmp"><a href="Fato.html#${ph(factId(f))}">Gen Fato $f</a> )</td></tr></table>""")
+        tipoRow(lb.simples) +
+          s"""<table><tr><td>${loc.formula}</td><td><img src="images/Function.bmp"><a href="GenFn_1.html#${ph(fnId)}">Soma</a> ( <img src="images/Fact.bmp"><a href="Fato.html#${ph(factId(f))}">Gen Fato $f</a> )</td></tr></table>""")
     }.toMap
 
     val compositeFiles: Map[String, String] = (0 until nComposite).map { i =>
       val c1 = (2 * i) % nSimple
       val c2 = (2 * i + 1) % nSimple
       compFile(i) -> metricDoc(compId(i),
-        tipoRow("Composto") +
-          s"""<table><tr><td>FÓRMULA</td><td><img src="images/Metric.bmp"><a href="${metFile(c1)}#${ph(metId(c1))}">Gen Metrica $c1</a> + <img src="images/Metric.bmp"><a href="${metFile(c2)}#${ph(metId(c2))}">Gen Metrica $c2</a></td></tr></table>""")
+        tipoRow(lb.composto) +
+          s"""<table><tr><td>${loc.formula}</td><td><img src="images/Metric.bmp"><a href="${metFile(c1)}#${ph(metId(c1))}">Gen Metrica $c1</a> + <img src="images/Metric.bmp"><a href="${metFile(c2)}#${ph(metId(c2))}">Gen Metrica $c2</a></td></tr></table>""")
     }.toMap
 
     // ---- fact sections (8 per GenFato file) ----
@@ -228,9 +242,9 @@ object MstrGen {
       val t1 = i % nTables
       val t2 = (i + 1) % nTables
       s"""<tr><td><a name="${factId(i)}"></a>
-         |${sectionHeader("EXPRESSÕES")}
+         |${sectionHeader(loc.expressoes)}
          |<table>
-         |<tr><td>EXPRESSÃO</td><td>TABELAS FONTE</td></tr>
+         |<tr><td>${loc.expressao}</td><td>${loc.tabelasFonte}</td></tr>
          |<tr><td>VLR_$i</td><td><a href="GenTab_1.html#${ph(tabId(t1))}">GT_TAB_$t1</a> <a href="GenTab_1.html#${ph(tabId(t2))}">GT_TAB_$t2</a></td></tr>
          |</table>
          |</td></tr>""".stripMargin
@@ -243,26 +257,26 @@ object MstrGen {
       }
 
     Map(
-      "Documento.html" -> documento,
-      "CuboInteligente.html" -> cuboIdx,
-      "Relatório.html" -> relIdx,
-      "Atalho.html" -> atalhoIdx,
-      "Métrica.html" -> metricaIdx,
-      "Atributo.html" -> atributoIdx,
-      "Fato.html" -> fatoIdx,
-      "Função.html" -> funcaoIdx,
-      "TabelaLógica.html" -> tabelaIdx,
-      "Pasta.html" -> pastaIdx) ++
+      loc.documento -> documento,
+      loc.cuboInteligente -> cuboIdx,
+      loc.relatorio -> relIdx,
+      loc.atalho -> atalhoIdx,
+      loc.metrica -> metricaIdx,
+      loc.atributo -> atributoIdx,
+      loc.fato -> fatoIdx,
+      loc.funcao -> funcaoIdx,
+      loc.tabelaLogica -> tabelaIdx,
+      loc.pasta -> pastaIdx) ++
       docFiles ++ cubeFiles ++ relDsFiles ++ attrFiles ++
       simpleFiles ++ compositeFiles ++ factFiles
   }
 
   /** As pages-table rows (Latin-1 per the pinned decode rule). */
-  def pages(n: Int): Seq[PageRow] = {
+  def pages(n: Int, loc: MstrLocale = MstrLocale.ptBR): Seq[PageRow] = {
     val baseTs = 1577836800000L
-    corpus(n).toSeq.sortBy(_._1).zipWithIndex.map { case ((name, html), i) =>
+    corpus(n, loc).toSeq.sortBy(_._1).zipWithIndex.map { case ((name, html), i) =>
       PageRow(s"mstr://gen/$name", new Timestamp(baseTs + i),
-        html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), "", "pt-BR")
+        html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), "", loc.code)
     }
   }
 }

@@ -236,10 +236,17 @@ object MstrParsers {
             if (headerRow >= 0) {
               val headers = s.findAllIn2(headerRow, "td", "th").map(s.textStrip)
               val headerText = headers.take(10).mkString(" ").toUpperCase(java.util.Locale.ROOT)
-              // the reference's header test is locale-quirky: literal
-              // Portuguese OBJETOS DO RELAT (metric_parser.py:394)
+              // the reference hardcodes the Portuguese OBJETOS DO RELAT
+              // here (metric_parser.py:394) even though its i18n module
+              // defines objetos_relatorio per locale (i18n/en_us.py:48
+              // "REPORT OBJECTS") — so its en-US template detection
+              // never fires. We keep the Portuguese containment for
+              // byte-identical pt-BR behavior AND honor the locale
+              // token (documented divergence, same as the tipo row).
               val hasObjetos = headerText.contains("OBJETOS DO RELAT") ||
-                headerText.contains("OBJETOS DO RELATORIO")
+                headerText.contains("OBJETOS DO RELATORIO") ||
+                headerText.contains(
+                  loc.objetosRelatorio.toUpperCase(java.util.Locale.ROOT))
               if (hasObjetos && headerText.contains(loc.linhas) &&
                 headerText.contains(loc.colunas)) return nextTable
             }
@@ -438,7 +445,22 @@ object MstrParsers {
     if (defs.nonEmpty) defs.head else -1
   }
 
+  /** Metric-type row match is locale-aware: the Portuguese
+    * TIPO+MÉTRICA containment check replicates the reference
+    * (metric_parser.py:122), and the locale's own tipo_metrica token
+    * (i18n/en_us.py:41 "Metric Type") is honored as the i18n module
+    * documents — the reference hardcodes only the Portuguese tokens in
+    * this code path despite defining tipo_metrica per locale, so its
+    * en-US composite detection silently falls back to 'simples'; we
+    * follow the documented i18n intent (deliberate divergence,
+    * pt-BR behavior byte-identical either way).
+    */
   private def extractMetricType(s: Soup, loc: MstrLocale, section: Node): Option[String] = {
+    val tipoToken = loc.tipoMetrica.toUpperCase(java.util.Locale.ROOT)
+    def isTipoLabel(label: String): Boolean =
+      (label.contains("TIPO") &&
+        (label.contains("MÉTRICA") || label.contains("METRICA"))) ||
+        label.contains(tipoToken)
     var current = s.findNext(section, "table")
     while (current >= 0) {
       val rows = s.findAllIn(current, "tr")
@@ -448,8 +470,7 @@ object MstrParsers {
           if (cells.length >= 2) {
             val label = s.textStrip(cells(0)).toUpperCase(java.util.Locale.ROOT)
             val value = s.textStrip(cells(1)).toLowerCase(java.util.Locale.ROOT)
-            if (label.contains("TIPO") &&
-              (label.contains("MÉTRICA") || label.contains("METRICA"))) {
+            if (isTipoLabel(label)) {
               return Some(
                 if (value.contains("composto") || value.contains("composite")) "composto"
                 else "simples")
@@ -457,7 +478,10 @@ object MstrParsers {
           }
         }
         val firstRowHasTipo = s.findAllIn2(rows.head, "td", "th")
-          .exists(c => s.textStrip(c).toUpperCase(java.util.Locale.ROOT).contains("TIPO"))
+          .exists { c =>
+            val l = s.textStrip(c).toUpperCase(java.util.Locale.ROOT)
+            l.contains("TIPO") || l.contains(tipoToken)
+          }
         if (firstRowHasTipo) return None
       }
       val ne = nextElem(s, current)

@@ -44,6 +44,24 @@ class MstrGenSpec extends AnyFunSuite {
     }
   }
 
+  test("en-US locale end-to-end: full extraction on an English export, both plans") {
+    import spark.implicits._
+    val loc = graft.mstr.MstrLocale.enUS
+    val pages = MstrGen.pages(12, loc)
+    val (reports, nodes, _) = MstrPipeline.run(spark, pages, "en-US", numPartitions = 3)
+    val viaBroadcast = reports.collect().map(r => r.report_id -> r.json).toMap
+    assert(viaBroadcast.size == 12)
+    assert(MstrPipeline.duplicateIdCheck(nodes).count() == 0)
+    // english type labels resolved to canonical tipos
+    val metricExtras = nodes.filter(_.label == "Metric").collect().map(_.extra)
+    assert(metricExtras.exists(_.startsWith("simples")))
+    assert(metricExtras.exists(_.startsWith("composto")))
+    val viaJoin = MstrJoinPipeline.run(spark,
+      spark.createDataset(pages).repartition(4), "en-US")
+      .collect().map(r => r.report_id -> r.json).toMap
+    assert(viaJoin == viaBroadcast)
+  }
+
   test("generated corpus validation: only the embedded-metric tipo violations") {
     val v = MstrPipeline.validation(spark, MstrGen.pages(N), "pt-BR", 4).collect()
     val errors = v.filter(_.severity == "error")
