@@ -160,6 +160,17 @@ final class TableIO(root: String) {
   def deleteByKeys(spark: SparkSession, keyCol: String, keys: Seq[String]): Option[Snapshot] =
     deleteWhere(spark, col(keyCol).isin(keys: _*))
 
+  /** Snapshot compaction (Iceberg rewrite_data_files analog): after
+    * many incremental [[appendSnapshot]] commits the live view unions
+    * many small snapshot dirs; compact rewrites them as ONE snapshot.
+    * Metadata-compatible with rollback — the old dirs stay on disk and
+    * the pre-compaction view remains restorable from history. No-op
+    * (None) when the view already has a single snapshot.
+    */
+  def compact(spark: SparkSession): Option[Snapshot] =
+    if (snapshots().size <= 1) None
+    else readTable(spark).map(replaceWith)
+
   /** Restore the table to a past snapshot by reinstalling that commit's
     * manifest as the live view (Iceberg rollback analog — the data dirs
     * were never deleted, so this is a metadata-only operation). Ids are

@@ -158,6 +158,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows == Set((None, 2), (Some("r2"), 3)))
   }
 
+  test("compact folds many snapshots into one; content and rollback unaffected") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val io = new TableIO(root)
+    (1 to 4).foreach(i => io.appendSnapshot(Seq((s"u$i", i)).toDF("key", "v")))
+    assert(io.snapshots().size == 4)
+    def table(): Map[String, Int] = io.readTable(spark).get
+      .as[(String, Int)].collect().toMap
+    val before = table()
+    val snap = io.compact(spark)
+    assert(snap.nonEmpty)
+    assert(io.snapshots().size == 1)
+    assert(table() == before)
+    // compacting a single-snapshot view is a no-op
+    assert(io.compact(spark).isEmpty)
+    // the pre-compaction view is still restorable
+    io.rollbackTo(4L)
+    assert(io.snapshots().size == 4 && table() == before)
+  }
+
   test("rollbackTo restores a prior snapshot; post-rollback commits keep unique ids") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-rb").toString
