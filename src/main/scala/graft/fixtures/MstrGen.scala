@@ -19,8 +19,7 @@ import java.sql.Timestamp
 object MstrGen {
 
   private def hid(tag: String, i: Int): String =
-    org.apache.commons.codec.digest.DigestUtils.md5Hex(s"gen:$tag:$i")
-      .toUpperCase(java.util.Locale.ROOT)
+    graft.text.TextOps.md5HexUpper(s"gen:$tag:$i")
 
   private def ph(id: String) = s"[$$$$$$$$$id$$$$$$$$]"
   private def mainbody(name: String, href: String) =

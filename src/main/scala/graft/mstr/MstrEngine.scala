@@ -26,9 +26,7 @@ final class MstrEngine(indexes: MstrIndexes, files: String => Option[Soup],
   private def filePathOf(l: LinkResult): String =
     if (l.anchor.nonEmpty) s"${l.file}#${l.anchor}" else l.file
 
-  private def deterministicGuid(seed: String): String =
-    org.apache.commons.codec.digest.DigestUtils.md5Hex(seed)
-      .toUpperCase(java.util.Locale.ROOT)
+  private def deterministicGuid(seed: String): String = TextOps.md5HexUpper(seed)
 
   // ------------------------------------------------------------------
   // Report level
@@ -171,8 +169,7 @@ final class MstrEngine(indexes: MstrIndexes, files: String => Option[Soup],
         val link = indexes.tabelaLogica.findLink(Some(lt.id), Some(lt.name))
         lt.copy(filePath = link.map(filePathOf).orElse(lt.filePath))
       }
-      val formId = org.apache.commons.codec.digest.DigestUtils
-        .md5Hex(s"${attrId}_$formName").toUpperCase(java.util.Locale.ROOT)
+      val formId = TextOps.md5HexUpper(s"${attrId}_$formName")
       Formulario(formId, formName, resolved)
     }
 

@@ -96,9 +96,7 @@ object MstrJoinPipeline {
     val parts = p.split("#", 2)
     (parts(0), if (parts.length > 1) parts(1) else "")
   }
-  private def guid(seed: String): String =
-    org.apache.commons.codec.digest.DigestUtils.md5Hex(seed)
-      .toUpperCase(java.util.Locale.ROOT)
+  private def guid(seed: String): String = TextOps.md5HexUpper(seed)
 
   /** `internalShufflePartitions` sizes the request-side shuffles: every
     * internal exchange here carries entity-scale request/fragment rows
@@ -117,6 +115,18 @@ object MstrJoinPipeline {
           internalShufflePartitions: Int = 4,
           select: Option[LinkIndex => Seq[LinkResult]] = None): Dataset[ReportJsonRow] = {
     import spark.implicits._
+    // Duplicate-basename detection is a corpus-wide aggregation (one
+    // key per page in the worst case), so it runs OUTSIDE the scoped
+    // conf at the session's full shuffle width with AQE on — only the
+    // entity-scale internal jobs get the narrow width below. The scan
+    // is pruned to the url column; html is never read here.
+    val indexFiles = indexFileSet(MstrLocale.forLang(lang))
+    val dupFiles: Set[String] = pagesDs.toDF()
+      .select(substring_index(col("url"), "/", -1).as("file"))
+      .filter(!col("file").isin(indexFiles.toSeq: _*))
+      .groupBy(col("file")).agg(count(col("file")).as("n"))
+      .filter(col("n") > 1).select(col("file")).as[String].collect().toSet
+
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -128,7 +138,7 @@ object MstrJoinPipeline {
     // 4-partition width
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try runScoped(spark, pagesDs, lang, select)
+    try runScoped(spark, pagesDs, lang, select, dupFiles)
     finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
@@ -136,14 +146,18 @@ object MstrJoinPipeline {
     }
   }
 
-  private def runScoped(spark: SparkSession, pagesDs: Dataset[PageRow],
-                        lang: String,
-                        select: Option[LinkIndex => Seq[LinkResult]]): Dataset[ReportJsonRow] = {
-    import spark.implicits._
-    val loc = MstrLocale.forLang(lang)
-    val indexFiles: Set[String] = Set(loc.documento, loc.relatorio, loc.cuboInteligente,
+  private def indexFileSet(loc: MstrLocale): Set[String] =
+    Set(loc.documento, loc.relatorio, loc.cuboInteligente,
       loc.atalho, loc.metrica, loc.fato, loc.funcao, loc.atributo, loc.tabelaLogica,
       loc.pasta)
+
+  private def runScoped(spark: SparkSession, pagesDs: Dataset[PageRow],
+                        lang: String,
+                        select: Option[LinkIndex => Seq[LinkResult]],
+                        dupFiles: Set[String]): Dataset[ReportJsonRow] = {
+    import spark.implicits._
+    val loc = MstrLocale.forLang(lang)
+    val indexFiles: Set[String] = indexFileSet(loc)
 
     // the ONLY collected data: the 9 locale index files (small dims)
     val indexPages = pagesDs.filter(p => indexFiles.contains(fileName(p.url))).collect()
@@ -156,17 +170,10 @@ object MstrJoinPipeline {
       .map(p => PageHtml(fileName(p.url), p.url, TextOps.decodeLatin1(p.html)))
 
     // Duplicate-basename dedup (greatest url wins — same rule as
-    // corpusFromPages) happens ONCE, and only anomalous files pay: the
-    // detection pass aggregates the url column alone (scan pruned to
-    // url, html never read or shuffled), and the keyed max-url
-    // reduction runs only over the flagged files. Corpora with unique
-    // file keys skip the reduction entirely — the pages side then
-    // streams through every stage join unshuffled.
-    val dupFiles: Set[String] = pagesDs.toDF()
-      .select(substring_index(col("url"), "/", -1).as("file"))
-      .filter(!col("file").isin(indexFiles.toSeq: _*))
-      .groupBy(col("file")).agg(count(col("file")).as("n"))
-      .filter(col("n") > 1).select(col("file")).as[String].collect().toSet
+    // corpusFromPages) happens ONCE, and only anomalous files pay (the
+    // detection ran in run() at session parallelism): corpora with
+    // unique file keys skip the reduction entirely — the pages side
+    // then streams through every stage join unshuffled.
     val pages: Dataset[PageHtml] =
       if (dupFiles.isEmpty) pagesRaw
       else {

@@ -200,7 +200,15 @@ object MstrParsers {
             if (cells.length >= 2) {
               val headerNorm = TextOps.forComparison(s.textStrip(cells(0)))
                 .toLowerCase(java.util.Locale.ROOT)
-              if (headerNorm.contains("tipo") && headerNorm.contains("grafico")) {
+              // tipo+grafico replicates the reference's hardcoded check
+              // (report_parser.py:389); the locale's tipoGrafico
+              // token is honored as documented per-locale — the same
+              // deliberate i18n divergence as the metric-type and
+              // template-header matches above
+              val tipoGraficoNorm = TextOps.forComparison(loc.tipoGrafico)
+                .toLowerCase(java.util.Locale.ROOT)
+              if ((headerNorm.contains("tipo") && headerNorm.contains("grafico")) ||
+                headerNorm.contains(tipoGraficoNorm)) {
                 val value = s.textStrip(cells(1))
                 if (value.nonEmpty && value.length > 3 && value.length < 50) return Some(value)
               }

@@ -11,6 +11,15 @@ import java.text.Normalizer
   */
 object TextOps {
 
+  /** Uppercase md5 hex — the deterministic 32-hex GUID derivation used
+    * for id-less entities (F10 divergence), form ids (A6), and fixture
+    * generation. ONE definition so every producer derives identically.
+    */
+  def md5HexUpper(seed: String): String =
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(seed)
+      .toUpperCase(java.util.Locale.ROOT)
+
+
   /** Python `str.strip()` — strips the Python `isspace()` set, which
     * includes U+00A0 NBSP (Java `Character.isWhitespace` does not).
     * cf. reference base_parser.py:185 (`get_text(strip=True)`).
