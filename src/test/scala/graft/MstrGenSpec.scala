@@ -56,6 +56,8 @@ class MstrGenSpec extends AnyFunSuite {
     val metricExtras = nodes.filter(_.label == "Metric").collect().map(_.extra)
     assert(metricExtras.exists(_.startsWith("simples")))
     assert(metricExtras.exists(_.startsWith("composto")))
+    // english chart-type row extracted (report_parser.py:389 divergence)
+    assert(viaBroadcast.values.exists(_.contains("\"graphic\": \"Vertical Bar\"")))
     val viaJoin = MstrJoinPipeline.run(spark,
       spark.createDataset(pages).repartition(4), "en-US")
       .collect().map(r => r.report_id -> r.json).toMap
