@@ -64,6 +64,27 @@ class MstrGenSpec extends AnyFunSuite {
     assert(viaJoin == viaBroadcast)
   }
 
+  test("truncation fuzz: both plans agree and never throw, both locales") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (loc <- Seq(graft.mstr.MstrLocale.ptBR, graft.mstr.MstrLocale.enUS)) {
+      val corrupted = MstrGen.pages(10, loc).map { p =>
+        rnd.nextInt(3) match {
+          case 0 => p.copy(html = p.html.take(rnd.nextInt(p.html.length + 1)))
+          case 1 => p.copy(html = (new String(p.html, "ISO-8859-1")
+            .replace("</table>", "")).getBytes("ISO-8859-1")) // unclosed tables
+          case _ => p
+        }
+      }
+      val viaBroadcast = MstrPipeline.run(spark, corrupted, loc.code)._1
+        .collect().map(r => r.report_id -> r.json).toMap
+      val viaJoin = MstrJoinPipeline.run(spark,
+        spark.createDataset(corrupted).repartition(3), loc.code)
+        .collect().map(r => r.report_id -> r.json).toMap
+      assert(viaJoin == viaBroadcast, s"plans diverged on corrupted ${loc.code} corpus")
+    }
+  }
+
   test("generated corpus validation: only the embedded-metric tipo violations") {
     val v = MstrPipeline.validation(spark, MstrGen.pages(N), "pt-BR", 4).collect()
     val errors = v.filter(_.severity == "error")
