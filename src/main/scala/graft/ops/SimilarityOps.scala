@@ -58,16 +58,6 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
-  /** Deterministic pseudo-random hyperplane: component j of plane p is
-    * +1 if hex digit (j mod 16) of md5("plane:p:" || j/16) is >= '8'
-    * else -1. Derived entirely from md5 so the oracle can rebuild it.
-    */
-  private def planeSign(p: Int, j: Int): Int = {
-    // driver-side mirror used by tests; the column form is below
-    val block = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"plane:$p:${j / 16}")
-    if (Character.digit(block.charAt(j % 16), 16) >= 8) 1 else -1
-  }
-
   /** Planes per SRP band as a function of corpus size: the smallest p
     * with 2^p >= n / targetOccupancy (floor 4). Bucket count then grows
     * WITH the corpus, so expected bucket occupancy stays bounded and
@@ -86,12 +76,23 @@ object SimilarityOps {
   }
 
   /** Sign-random-projection bucket column over `nPlanes` hyperplanes
-    * with plane indices [firstPlane, firstPlane + nPlanes).
+    * with plane indices [firstPlane, firstPlane + nPlanes) — the fused
+    * one-pass native expression ([[graft.functions.SrpSigs]]): reads
+    * the embedding once for ALL planes instead of once per plane, same
+    * bit-exact arithmetic as the compositional vec_dot form (parity
+    * asserted in VectorExprSpec).
     */
-  private def srpBucket(nPlanes: Int, firstPlane: Int = 0): Column = {
+  private def srpBucket(nPlanes: Int, firstPlane: Int = 0): Column =
+    graft.functions.SrpSigs.srp_sigs(col("embedding"), firstPlane, nPlanes)
+
+  /** The compositional per-plane form srpBucket replaces — kept as the
+    * parity reference for VectorExprSpec.
+    */
+  private[graft] def srpBucketCompositional(nPlanes: Int, firstPlane: Int = 0): Column = {
     val dim = 64
     val planes: Array[Array[Double]] =
-      Array.tabulate(nPlanes, dim)((p, j) => planeSign(firstPlane + p, j).toDouble)
+      Array.tabulate(nPlanes, dim)((p, j) =>
+        graft.functions.SrpSigs.planeSign(firstPlane + p, j).toDouble)
     val planesLit = typedLit(planes.map(_.toSeq).toSeq)
     concat((0 until nPlanes).map { p =>
       val proj = dot(col("embedding"), element_at(planesLit, p + 1))

@@ -27,6 +27,33 @@ class VectorExprSpec extends AnyFunSuite {
     }
   }
 
+  test("SrpSigs == compositional per-plane vec_dot form on real and random embeddings") {
+    import spark.implicits._
+    // real embeddings table: every (firstPlane, nPlanes) combo the ops use
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for ((first, n) <- Seq((0, 8), (0, 4), (8, 6), (24, 12))) {
+      val rows = e.select(
+        graft.ops.SimilarityOps.srpBucketCompositional(n, first).as("hof"),
+        graft.functions.SrpSigs.srp_sigs(col("embedding"), first, n).as("native"))
+        .collect()
+      rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+    }
+    // random vectors incl. exact zeros (sign boundary) — column is
+    // named 'embedding' because the compositional helper binds to it
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 50).map(_ => Array.fill(64)(
+      if (rnd.nextInt(10) == 0) 0.0f else rnd.nextFloat() * 2 - 1)).map(Tuple1(_))
+    val df = vecs.toDF("embedding")
+    val rows = df.select(
+      graft.ops.SimilarityOps.srpBucketCompositional(8).as("hof"),
+      graft.functions.SrpSigs.srp_sigs(col("embedding"), 0, 8).as("native")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // length mismatch → NULL (the vec_dot poisoning semantics)
+    val short = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("embedding")
+    assert(short.select(graft.functions.SrpSigs.srp_sigs(col("embedding"), 0, 4))
+      .head.isNullAt(0))
+  }
+
   test("VecDot handles double arrays and nulls") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
