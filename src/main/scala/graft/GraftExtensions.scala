@@ -56,5 +56,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "shingle_jaccard(a STRING, b STRING) - exact word-3-gram jaccard similarity") {
       exprs => ShingleJaccard(exprs.head, exprs(1))
     }
+    inject(ext, "srp_sigs", 3,
+      "srp_sigs(emb ARRAY<FLOAT|DOUBLE>, firstPlane INT, nPlanes INT) - one-pass SRP hyperplane sign bits") {
+      exprs =>
+        def intLit(x: Expression, what: String): Int =
+          if (x.foldable) x.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"srp_sigs $what must be an int literal, got $other")
+          } else throw new IllegalArgumentException(s"srp_sigs $what must be a literal")
+        SrpSigs(exprs.head, intLit(exprs(1), "firstPlane"), intLit(exprs(2), "nPlanes"))
+    }
   }
 }

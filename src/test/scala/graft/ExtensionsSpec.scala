@@ -28,12 +28,14 @@ class ExtensionsSpec extends AnyFunSuite {
                vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
                        array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
                size(minhash_sigs('a b c d e', 8)) AS k,
-               shingle_jaccard('a b c d', 'a b c d') AS j""").head()
+               shingle_jaccard('a b c d', 'a b c d') AS j,
+               length(srp_sigs(array_repeat(CAST(0.5 AS FLOAT), 64), 0, 8)) AS s""").head()
       assert(row.getAs[String]("t").contains("Hello extension world"))
       assert(row.getAs[String]("n") == "METRICA")
       assert(row.getAs[Double]("d") == 11.0)
       assert(row.getAs[Int]("k") == 8)
       assert(row.getAs[Double]("j") == 1.0)
+      assert(row.getAs[Int]("s") == 8)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
