@@ -15,7 +15,8 @@ import graft.functions._
   * }}}
   *
   * and use `extract_main_text`, `vec_dot`, `minhash_sigs`,
-  * `shingle_jaccard`, `normalize_for_comparison` from pure SQL.
+  * `shingle_jaccard`, `normalize_for_comparison`, `srp_sigs` from
+  * pure SQL.
   * (Unlike the temp-function fallback in
   * [[graft.functions.GraftFunctions.register]], extension-injected
   * functions survive into every new session of the application.)
@@ -58,14 +59,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     inject(ext, "srp_sigs", 3,
       "srp_sigs(emb ARRAY<FLOAT|DOUBLE>, firstPlane INT, nPlanes INT) - one-pass SRP hyperplane sign bits") {
-      exprs =>
-        def intLit(x: Expression, what: String): Int =
-          if (x.foldable) x.eval() match {
-            case i: Int => i
-            case other => throw new IllegalArgumentException(
-              s"srp_sigs $what must be an int literal, got $other")
-          } else throw new IllegalArgumentException(s"srp_sigs $what must be a literal")
-        SrpSigs(exprs.head, intLit(exprs(1), "firstPlane"), intLit(exprs(2), "nPlanes"))
+      SrpSigs.buildFromExprs
     }
   }
 }

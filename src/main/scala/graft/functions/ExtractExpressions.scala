@@ -95,17 +95,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_sigs",
       withArity("minhash_sigs", 2)(MinHashFunctions.buildFromExprs), "scala_udf")
     reg.createOrReplaceTempFunction("srp_sigs",
-      withArity("srp_sigs", 3) { e =>
-        def intLit(x: Expression, what: String): Int = x match {
-          case lit if lit.foldable => lit.eval() match {
-            case i: Int => i
-            case other => throw new IllegalArgumentException(
-              s"srp_sigs $what must be an int literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            s"srp_sigs $what must be a literal")
-        }
-        SrpSigs(e.head, intLit(e(1), "firstPlane"), intLit(e(2), "nPlanes"))
-      }, "scala_udf")
+      withArity("srp_sigs", 3)(SrpSigs.buildFromExprs), "scala_udf")
   }
 }

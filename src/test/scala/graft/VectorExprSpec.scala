@@ -38,20 +38,28 @@ class VectorExprSpec extends AnyFunSuite {
         .collect()
       rows.foreach(r => assert(r.getString(0) == r.getString(1)))
     }
-    // random vectors incl. exact zeros (sign boundary) — column is
-    // named 'embedding' because the compositional helper binds to it
+    // random vectors incl. exact zeros (sign boundary), NaN elements
+    // (Spark `>=` is NaN-is-greater → bit '1'), a short vector and a
+    // NULL vector (vec_dot NULL-poisoning → when(...) falls through to
+    // an all-'0' bucket, never NULL). Column is named 'embedding'
+    // because the compositional helper binds to it.
     val rnd = new scala.util.Random(7)
-    val vecs = (1 to 50).map(_ => Array.fill(64)(
-      if (rnd.nextInt(10) == 0) 0.0f else rnd.nextFloat() * 2 - 1)).map(Tuple1(_))
+    val vecs = (1 to 50).map { i =>
+      Array.fill(64)(rnd.nextInt(10) match {
+        case 0 => 0.0f
+        case 1 if i % 5 == 0 => Float.NaN
+        case _ => rnd.nextFloat() * 2 - 1
+      })
+    }.map(Tuple1(_)) ++ Seq(Tuple1(Array(1.0f, 2.0f)), Tuple1(null: Array[Float]))
     val df = vecs.toDF("embedding")
     val rows = df.select(
       graft.ops.SimilarityOps.srpBucketCompositional(8).as("hof"),
       graft.functions.SrpSigs.srp_sigs(col("embedding"), 0, 8).as("native")).collect()
-    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
-    // length mismatch → NULL (the vec_dot poisoning semantics)
-    val short = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("embedding")
-    assert(short.select(graft.functions.SrpSigs.srp_sigs(col("embedding"), 0, 4))
-      .head.isNullAt(0))
+    rows.foreach { r =>
+      assert(!r.isNullAt(1), "native bucket must never be NULL")
+      assert(r.getString(0) == r.getString(1),
+        s"hof=${r.getString(0)} native=${r.getString(1)}")
+    }
   }
 
   test("VecDot handles double arrays and nulls") {
