@@ -20,7 +20,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // best-of-2 per query: the sandbox VM sees transient CPU steal and
     // the first run pays JIT; the min is the least-polluted measurement
-    final case class QueryResult(wall: Double, rows: Long, failed: Boolean)
+    final case class QueryResult(wall: Double, rows: Long, failed: Boolean,
+                                 rowsMismatch: Boolean)
     val results: Map[String, QueryResult] = SparkEntry.queries.map { case (name, fn) =>
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -32,10 +33,13 @@ object Bench {
       val ok = reps.flatten
       // ANY failed rep flags the query (an intermittent throw must not
       // hide behind a surviving rep); wall still reports the best
-      // successful rep when one exists
-      name -> (if (ok.isEmpty) QueryResult(-1.0, 0L, failed = true)
+      // successful rep when one exists. Successful reps disagreeing on
+      // cardinality (a nondeterminism regression) are flagged too, not
+      // silently collapsed to the first rep's count.
+      name -> (if (ok.isEmpty) QueryResult(-1.0, 0L, failed = true, rowsMismatch = false)
                else QueryResult(ok.map(_._1).min, ok.head._2,
-                 failed = ok.size < reps.size))
+                 failed = ok.size < reps.size,
+                 rowsMismatch = ok.map(_._2).distinct.size > 1))
     }
     def jmap(f: QueryResult => String): String =
       results.map { case (k, v) => s"\"$k\":${f(v)}" }.mkString("{", ",", "}")
@@ -45,8 +49,10 @@ object Bench {
                         else (r.rows / r.wall).round.toString)
     val failed = results.collect { case (k, r) if r.failed => s"\"$k\"" }
       .mkString("[", ",", "]")
+    val rowsMismatch = results.collect { case (k, r) if r.rowsMismatch => s"\"$k\"" }
+      .mkString("[", ",", "]")
     val total = results.values.map(_.wall).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"rows_per_sec":$rps,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"rows_per_sec":$rps,"failed":$failed,"rows_mismatch":$rowsMismatch,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -509,7 +509,7 @@ object SparkEntry {
                   j -> CASE WHEN substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)),
                                         (j % 16) + 1, 1) >= '8'
                             THEN 1.0 ELSE -1.0 END) AS w
-         FROM generate_series(0, 127) t1(p), np WHERE p < np.n),
+         FROM np, unnest(generate_series(0, CAST(np.n - 1 AS BIGINT))) AS t1(p)),
        proj AS (
          SELECT e.vec_id, pl.p,
                 list_sum(list_transform(generate_series(1, 64),
@@ -587,7 +587,7 @@ object SparkEntry {
                   j -> CASE WHEN substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)),
                                         (j % 16) + 1, 1) >= '8'
                             THEN 1.0 ELSE -1.0 END) AS w
-         FROM generate_series(0, 127) t1(p), nn WHERE p < 4 * nn.ppb),
+         FROM nn, unnest(generate_series(0, CAST(4 * nn.ppb - 1 AS BIGINT))) AS t1(p)),
        proj AS (
          SELECT e.vec_id, pl.p,
                 list_sum(list_transform(generate_series(1, 64),

@@ -291,7 +291,12 @@ object MstrCorpus {
   /** As rows of the pages table (Latin-1 encoded per the pinned decode
     * rule, SURVEY.md §1.2).
     */
-  def pages: Seq[PageRow] = {
+  def pages: Seq[PageRow] = pagesOf(corpus)
+
+  /** Any (fileName → html) map as pages rows — lets specs run surgically
+    * modified corpora through both pipeline plans.
+    */
+  def pagesOf(corpus: Map[String, String]): Seq[PageRow] = {
     val baseTs = 1577836800000L
     corpus.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, html), i) =>
       PageRow(s"mstr://fixture/$name", new Timestamp(baseTs + i),

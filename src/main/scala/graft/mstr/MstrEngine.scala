@@ -20,6 +20,23 @@ import scala.collection.mutable
 final class MstrEngine(indexes: MstrIndexes, files: String => Option[Soup],
                        locale: MstrLocale) extends Serializable {
 
+  /** Caches are strictly recompute-equivalent: a hit returns exactly
+    * what recomputation would, so output is independent of partitioning
+    * and of which report populated the cache, and the broadcast plan
+    * stays byte-identical to the per-request join plan
+    * ([[MstrJoinPipeline]]).
+    *
+    * Documented divergence from the reference: its global caches are
+    * extraction-ORDER-dependent — attribute_extractor.py:35 keys only
+    * `dataset_id:name`, so a re-aliased attribute is served the first
+    * alias's `name_on_dataset`; metric_extractor.py:128 caches
+    * composites that were cycle-truncated under the CALLER's visited
+    * set and serves them in unrelated contexts. We key attributes on
+    * the full input tuple and only cache/serve metrics computed from an
+    * empty visited context (i.e. full expansions), which is what the
+    * reference produces when extraction order doesn't happen to
+    * interleave aliases/cycles.
+    */
   private val metricCache = mutable.Map.empty[String, Metrica]
   private val attributeCache = mutable.Map.empty[String, Atributo]
 
@@ -148,7 +165,7 @@ final class MstrEngine(indexes: MstrIndexes, files: String => Option[Soup],
 
   def extractAttribute(officialName: String, nameOnDataset: String,
                        attrFilePath: String, datasetId: String): Option[Atributo] = {
-    val cacheKey = s"$datasetId:$officialName"
+    val cacheKey = s"$datasetId:$officialName:$nameOnDataset:$attrFilePath"
     attributeCache.get(cacheKey).foreach(a => return Some(a))
 
     val parts = attrFilePath.split("#", 2)
@@ -192,12 +209,19 @@ final class MstrEngine(indexes: MstrIndexes, files: String => Option[Soup],
     }
     // circular reference check (extractor_helpers.py:19-38)
     if (metricaId.nonEmpty && visited.contains(metricaId)) return None
+    // A result is a pure function of (name, path, id) ONLY when computed
+    // from an empty visited context; composite expansions under a
+    // non-empty set may be cycle-truncated by the caller's ancestry, so
+    // those are neither cached nor served from cache (see class doc).
+    val entryVisitedEmpty = visited.isEmpty
     if (metricaId.nonEmpty) visited += metricaId
 
     val cacheKey =
-      if (metricaId.nonEmpty) s"$metricaId:$metricName" else s"$datasetId:$metricName"
-    metricCache.get(cacheKey).foreach { cached =>
+      (if (metricaId.nonEmpty) s"$metricaId:$metricName" else s"$datasetId:$metricName") +
+        s":$metricFilePath"
+    if (entryVisitedEmpty) metricCache.get(cacheKey).foreach { cached =>
       if (metricaId.nonEmpty) visited -= metricaId
+      // rebind dataset_id on hit, like the reference (extractor_helpers.py:56-77)
       return Some(cached.copy(datasetId = datasetId))
     }
 
@@ -261,7 +285,7 @@ final class MstrEngine(indexes: MstrIndexes, files: String => Option[Soup],
           definition.formula, function, fact, Nil)
       }
 
-    metricCache(cacheKey) = metrica
+    if (entryVisitedEmpty) metricCache(cacheKey) = metrica
     if (metricaId.nonEmpty) visited -= metricaId
     Some(metrica)
   }

@@ -38,7 +38,7 @@ object MstrJoinPipeline {
 
   final case class PageHtml(file: String, url: String, html: String)
 
-  final case class ReportReq(file: String, name: String, href: String)
+  final case class ReportReq(file: String, name: String, href: String, ord: Int)
   final case class DsReq(report_id: String, ds_ord: Int, ds_name: String,
                          ds_id: String, ds_file: String, file: String, source: String)
   final case class AttrReq(report_id: String, ds_ord: Int, ord: Int, official: String,
@@ -218,8 +218,15 @@ object MstrJoinPipeline {
     // applied to the work list exactly as in MstrPipeline.run
     val workLinks = select.map(f => f(indexes.documento))
       .getOrElse(indexes.documento.links)
+    // one request PER INDEX LINK: a report id listed twice in the
+    // documento index must yield one output row per link, exactly like
+    // the broadcast engine's per-link flatMap — so the internal group
+    // key is (report_id, link ordinal), folded into one string that all
+    // downstream request/fragment rows carry opaquely
     val reportReqs = spark.createDataset(
-      workLinks.map(l => ReportReq(l.file, l.name, l.href)).toSeq)
+      workLinks.zipWithIndex.map { case (l, i) =>
+        ReportReq(l.file, l.name, l.href, i)
+      }.toSeq)
 
     val rOut = stage(reportReqs)(_.file) { (soup, idx, rs) =>
       rs.flatMap { rq =>
@@ -246,12 +253,13 @@ object MstrJoinPipeline {
                 case None => AccessControlEntry(userName, access, None, None, None)
               }
           }
-          val skel = RStageOut(Some(Frag.of(reportId, SkelFrag(
+          val groupKey = s"$reportId" + "\u0000" + rq.ord
+          val skel = RStageOut(Some(Frag.of(groupKey, SkelFrag(
             rq.name, s"${rq.file}#$reportId", owner, acl))), None)
           val dsInfo = MstrParsers.extractDatasetsFromReport(soup, loc, rq.name,
             Some(reportId))
           skel +: dsInfo.zipWithIndex.flatMap { case ((dsName, dsIdOpt, _), ord) =>
-            routeDataset(idx, reportId, ord, dsName, dsIdOpt)
+            routeDataset(idx, groupKey, reportId, ord, dsName, dsIdOpt)
           }
         }
       }
@@ -421,7 +429,12 @@ object MstrJoinPipeline {
     val allFrags = skelFrags.union(dsFrags).union(attrFrags)
       .union(mnodeFrags).union(factFrags)
 
-    val assembled = allFrags.groupByKey(_.report_id).flatMapGroups { (rid, it) =>
+    val assembled = allFrags.groupByKey(_.report_id).flatMapGroups { (key, it) =>
+      // the group key is report_id + NUL + link ordinal (one group —
+      // hence one output row — per documento-index LINK, even when the
+      // same report id is listed twice); strip the ordinal back off for
+      // the emitted rows
+      val rid = key.takeWhile(_ != '\u0000')
       val fs = it.map(Frag.read).toSeq
       fs.collectFirst { case s: SkelFrag => s }.map { sk =>
         val attrsByDs = fs.collect { case f: AttrFrag => f }.groupBy(_.ds_ord)
@@ -469,23 +482,26 @@ object MstrJoinPipeline {
     * deterministic fallback id; Shortcut → terminal dataset; else a
     * request against the dataset's content file.
     */
-  private def routeDataset(idx: MstrIndexes, reportId: String, ord: Int,
-                           dsName: String, dsIdOpt: Option[String]): Seq[RStageOut] = {
+  private def routeDataset(idx: MstrIndexes, groupKey: String, reportId: String,
+                           ord: Int, dsName: String,
+                           dsIdOpt: Option[String]): Seq[RStageOut] = {
     val dsId0 = dsIdOpt.getOrElse("")
+    // fallback GUIDs seed from the PLAIN report id (engine parity), while
+    // request/fragment rows carry the per-link group key
     MstrIndexes.resolveDatasetLink(idx, Some(dsId0).filter(_.nonEmpty), Some(dsName)) match {
       case None =>
         val id = if (dsId0.nonEmpty) dsId0 else guid(s"$reportId:$dsName")
-        Seq(RStageOut(Some(Frag.of(reportId, DsFrag(ord, dsName, id, "",
+        Seq(RStageOut(Some(Frag.of(groupKey, DsFrag(ord, dsName, id, "",
           Some(""), None))), None))
       case Some((dsFile, source)) =>
         var dsId = dsId0
         if (dsId.isEmpty && dsFile.contains("#")) dsId = dsFile.split("#", 2)(1)
         if (dsId.isEmpty) dsId = guid(s"$reportId:$dsName")
         if (source == "Shortcut")
-          Seq(RStageOut(Some(Frag.of(reportId, DsFrag(ord, dsName, dsId, dsFile,
+          Seq(RStageOut(Some(Frag.of(groupKey, DsFrag(ord, dsName, dsId, dsFile,
             Some("Shortcut"), None))), None))
         else
-          Seq(RStageOut(None, Some(DsReq(reportId, ord, dsName, dsId, dsFile,
+          Seq(RStageOut(None, Some(DsReq(groupKey, ord, dsName, dsId, dsFile,
             dsFile.split("#", 2)(0), source))))
     }
   }
