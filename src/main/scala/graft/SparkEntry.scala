@@ -82,7 +82,27 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
   )
 
+  /** Frozen golden oracle (inline VALUES SQL, tools/freeze_golden.py) —
+    * used for queries whose semantics are row-local HTML extraction on
+    * the deterministic fixture corpora, which have no independent SQL
+    * restatement. The golden pins the ScalaTest-verified output so the
+    * driver's DuckDB gate covers those queries too.
+    */
+  private def golden(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/graft/golden/$name.sql")
+    require(in != null, s"missing golden resource for $name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_mstr_reports" -> golden("q_mstr_reports"),
+    "q_mstr_nodes" -> golden("q_mstr_nodes"),
+    "q_mstr_edges" -> golden("q_mstr_edges"),
+    "q_mstr_validate" -> golden("q_mstr_validate"),
+    "q_mstr_join" -> golden("q_mstr_join"),
+    "q_web_pipeline" -> golden("q_web_pipeline"),
+
     "q_extract_roundtrip" ->
       "SELECT doc_id, text FROM documents",
 

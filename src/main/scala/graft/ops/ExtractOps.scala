@@ -138,15 +138,17 @@ object ExtractOps {
   }
 
   /** Full pipeline over the synthetic web corpus (incl. giant-page skew
-    * routing); returns per-url extraction rows. Rows-only check (the
-    * byte goldens are asserted in ScalaTest against WebCorpus).
+    * routing); returns per-url extraction rows with the text as its md5
+    * digest, oracle-backed by a frozen golden table (the raw text bytes
+    * are asserted in ScalaTest against WebCorpus; the digest pins them
+    * at the driver's DuckDB gate too).
     */
   def webCorpus(spark: SparkSession, n: Int, partitions: Int): DataFrame = {
     import spark.implicits._
     val fixtures = graft.fixtures.WebCorpus.generate(n)
     val pages = spark.createDataset(fixtures.map(_.page))
     ExtractPipeline.run(pages, charset = "utf-8", numPartitions = partitions)
-      .select(col("url"), col("text"), col("blocks"), col("content_blocks"),
-        col("html_bytes"), col("parse_ok"))
+      .select(col("url"), md5(col("text")).as("text_md5"), col("blocks"),
+        col("content_blocks"), col("html_bytes"), col("parse_ok"))
   }
 }
