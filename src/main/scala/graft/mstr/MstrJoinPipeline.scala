@@ -3,7 +3,7 @@ package graft.mstr
 import graft.pipeline.PageRow
 import graft.text.TextOps
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, substring_index}
+import org.apache.spark.sql.functions.{col, count, substring_index}
 import scala.collection.mutable
 
 /** Join-based MSTR extraction for corpora too big to broadcast — the
@@ -14,14 +14,17 @@ import scala.collection.mutable
   * only the 9 index files (small dims by construction) are collected
   * and broadcast. Extraction proceeds in staged passes mirroring the
   * engine's call graph (report → dataset → attribute/metric → fact,
-  * report_extractor.py:155-297); each stage joins a compact REQUEST
-  * table (entity-scale, broadcast) against the pages table on file
-  * name — the pages scan streams, nothing corpus-sized ever shuffles,
-  * and every requested page is parsed once per stage. Composite-metric
-  * recursion (A3) is an iterative stage loop carrying the visited PATH
-  * per branch, exactly the engine's per-branch `visited.copy()`
-  * semantics. Fragments are assembled into the nested tree per report
-  * in one `groupByKey(report_id)` pass.
+  * report_extractor.py:155-297); each stage broadcasts a compact
+  * REQUEST map (entity-scale) and runs ONE map-side pass over the
+  * pages scan — the pages side streams, nothing corpus-sized ever
+  * shuffles, and every requested page is parsed once per stage. The
+  * whole run costs 4 + recursion-depth Spark jobs: one combined
+  * index+dup scan, one per staged pass (the request collect doubles as
+  * the cache materializer), one assembly. Composite-metric recursion
+  * (A3) is an iterative stage loop carrying the visited PATH per
+  * branch, exactly the engine's per-branch `visited.copy()` semantics.
+  * Fragments are assembled into the nested tree per report in one
+  * `groupByKey(report_id)` pass.
   *
   * Missing-file semantics match the engine: report/dataset/metric
   * requests whose file is absent simply drop out of the inner join
@@ -60,34 +63,40 @@ object MstrJoinPipeline {
                                   function: Option[FunctionRef], fact: Option[FactRef])
   final case class FactFrag(ds_ord: Int, pos: Seq[Int], tables: Seq[LogicTable])
 
-  /** Fragment envelope: the typed payloads above ride as a compact
-    * java-serialized blob. Keeping the Spark-facing schema at three
-    * primitive columns (vs five deeply nested optional structs) cuts
+  /** Universal stage envelope: every stage output — assembled-tree
+    * fragment or follow-up request — rides as a compact java-serialized
+    * blob tagged by `kind`. Keeping the Spark-facing schema at three
+    * flat primitive columns (vs deeply nested optional structs) cuts
     * Catalyst analysis time per internal job by an order of magnitude —
     * the payloads are internal to this pipeline, never queried
     * columnar, and the recursive tree they feed can't be a Catalyst
-    * schema anyway (SURVEY.md §7.4.2).
+    * schema anyway (SURVEY.md §7.4.2). `report_id` is the assembly
+    * group key for fragments (empty for requests — requests carry their
+    * own keys inside the payload).
     */
-  final case class Frag(report_id: String, blob: Array[Byte])
+  final case class Frag(report_id: String, kind: Int, blob: Array[Byte])
 
   object Frag {
-    def of(reportId: String, payload: Serializable): Frag = {
+    val KFrag = 0   // assembly fragment (SkelFrag/DsFrag/AttrFrag/MetricNodeFrag/FactFrag)
+    val KDs = 1     // DsReq
+    val KAttr = 2   // AttrReq
+    val KMetric = 3 // MetricReq
+    val KFact = 4   // FactReq
+
+    def of(reportId: String, payload: Serializable): Frag =
+      tagged(reportId, KFrag, payload)
+    def req(kind: Int, payload: Serializable): Frag = tagged("", kind, payload)
+    private def tagged(key: String, kind: Int, payload: Serializable): Frag = {
       val bos = new java.io.ByteArrayOutputStream()
       val oos = new java.io.ObjectOutputStream(bos)
       oos.writeObject(payload)
       oos.close()
-      Frag(reportId, bos.toByteArray)
+      Frag(key, kind, bos.toByteArray)
     }
     def read(f: Frag): AnyRef =
       new java.io.ObjectInputStream(
         new java.io.ByteArrayInputStream(f.blob)).readObject()
   }
-
-  final case class RStageOut(frag: Option[Frag], ds: Option[DsReq])
-  final case class DStageOut(frag: Option[Frag], attr: Option[AttrReq],
-                             metric: Option[MetricReq])
-  final case class MStageOut(frag: Option[Frag], child: Option[MetricReq],
-                             factReq: Option[FactReq])
 
   private def fileName(url: String): String = url.substring(url.lastIndexOf('/') + 1)
   private def filePathOf(l: LinkResult): String =
@@ -98,10 +107,17 @@ object MstrJoinPipeline {
   }
   private def guid(seed: String): String = TextOps.md5HexUpper(seed)
 
+  /** Above this many duplicated basenames the driver stops carrying the
+    * dup set: the pages table is deduplicated fully distributed instead
+    * (one corpus-wide reduce), so a pathological corpus never pins an
+    * unbounded Set on the driver or the executors.
+    */
+  val DupSetBroadcastMax: Int = 65536
+
   /** `internalShufflePartitions` sizes the request-side shuffles: every
     * internal exchange here carries entity-scale request/fragment rows
     * (never pages), so a narrow width collapses the orchestration
-    * latency of the many small jobs on small corpora; raise it when the
+    * latency of the internal jobs on small corpora; raise it when the
     * entity count warrants. The pages scan itself is never shuffled
     * (duplicate-basename anomalies excepted — see the dedup pass).
     *
@@ -113,37 +129,55 @@ object MstrJoinPipeline {
   def run(spark: SparkSession, pagesDs: Dataset[PageRow],
           lang: String = "pt-BR",
           internalShufflePartitions: Int = 4,
-          select: Option[LinkIndex => Seq[LinkResult]] = None): Dataset[ReportJsonRow] = {
-    import spark.implicits._
-    // Duplicate-basename detection is a corpus-wide aggregation (one
-    // key per page in the worst case), so it runs OUTSIDE the scoped
-    // conf at the session's full shuffle width with AQE on — only the
-    // entity-scale internal jobs get the narrow width below. The scan
-    // is pruned to the url column; html is never read here.
+          select: Option[LinkIndex => Seq[LinkResult]] = None,
+          dupSetBroadcastMax: Int = DupSetBroadcastMax): Dataset[ReportJsonRow] = {
     val indexFiles = indexFileSet(MstrLocale.forLang(lang))
-    val dupFiles: Set[String] = pagesDs.toDF()
-      .select(substring_index(col("url"), "/", -1).as("file"))
-      .filter(!col("file").isin(indexFiles.toSeq: _*))
-      .groupBy(col("file")).agg(count(col("file")).as("n"))
-      .filter(col("n") > 1).select(col("file")).as[String].collect().toSet
-
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
+    // AQE's stage-by-stage materialization adds a driver job every time
+    // the pages Dataset-to-RDD lineage is re-executed, and the staged
+    // passes are shuffle-free, so there is nothing for it to re-plan —
+    // scope it off for the whole run (shuffle WIDTH is left untouched)
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", internalShufflePartitions.toString)
-    // the ~30 internal jobs are tiny and all distinct plans: janino
-    // compilation per plan costs more than interpreted eval saves here
-    // (the expensive work — html parsing — is opaque to codegen anyway),
-    // and AQE's per-shuffle re-planning is pure overhead at a fixed
-    // 4-partition width
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try runScoped(spark, pagesDs, lang, select, dupFiles)
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
+    try {
+      // ONE pruned conversion of the pages table feeds everything: the
+      // scan below and every staged pass (url + html only — the column
+      // pruning survives into the RDD because the projection happens on
+      // the Dataset side of the boundary)
+      import spark.implicits._
+      val urlHtml: org.apache.spark.rdd.RDD[(String, Array[Byte])] =
+        pagesDs.select(col("url"), col("html")).as[(String, Array[Byte])].rdd
+
+      // ONE corpus-wide pass does both up-front scans: collect the 9
+      // locale index files (greatest-url html per basename, the
+      // corpusFromPages rule) and detect duplicate basenames. Non-index
+      // html is dropped BEFORE the exchange and counts combine map-side
+      // (reduceByKey), so the shuffle carries one (basename, count) row
+      // per distinct name plus at most 9 html payloads.
+      val scanRows: Array[(String, (Long, String, Array[Byte]))] = urlHtml
+        .map { case (url, html) =>
+          val file = fileName(url)
+          (file, (1L, url, if (indexFiles.contains(file)) html else null))
+        }
+        .reduceByKey { (a, b) =>
+          val hi = if (a._2 >= b._2) a else b
+          (a._1 + b._1, hi._2, hi._3)
+        }
+        .filter { case (_, (n, _, ih)) => n > 1 || ih != null }
+        .collect()
+
+      val indexHtml: Map[String, String] = scanRows.iterator
+        .filter(_._2._3 != null)
+        .map { case (file, (_, _, ih)) => file -> TextOps.decodeLatin1(ih) }
+        .toMap
+      val dupFiles: Set[String] = scanRows.iterator
+        .filter(_._2._1 > 1)
+        .map(_._1)
+        .filterNot(indexFiles.contains)
+        .toSet
+
+      runScoped(spark, urlHtml, lang, select, indexHtml, dupFiles,
+        dupSetBroadcastMax, internalShufflePartitions)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   private def indexFileSet(loc: MstrLocale): Set[String] =
@@ -151,66 +185,73 @@ object MstrJoinPipeline {
       loc.atalho, loc.metrica, loc.fato, loc.funcao, loc.atributo, loc.tabelaLogica,
       loc.pasta)
 
-  private def runScoped(spark: SparkSession, pagesDs: Dataset[PageRow],
+  private def runScoped(spark: SparkSession,
+                        urlHtml: org.apache.spark.rdd.RDD[(String, Array[Byte])],
                         lang: String,
                         select: Option[LinkIndex => Seq[LinkResult]],
-                        dupFiles: Set[String]): Dataset[ReportJsonRow] = {
+                        indexHtml: Map[String, String],
+                        dupFiles: Set[String],
+                        dupSetBroadcastMax: Int,
+                        internalShufflePartitions: Int): Dataset[ReportJsonRow] = {
     import spark.implicits._
     val loc = MstrLocale.forLang(lang)
     val indexFiles: Set[String] = indexFileSet(loc)
 
-    // the ONLY collected data: the 9 locale index files (small dims)
-    val indexPages = pagesDs.filter(p => indexFiles.contains(fileName(p.url))).collect()
-    val indexes = MstrPipeline.buildIndexes(
-      MstrPipeline.corpusFromPages(indexPages.toSeq), loc)
+    val indexes = MstrPipeline.buildIndexes(indexHtml, loc)
     val bIdx = spark.sparkContext.broadcast(indexes)
 
-    val pagesRaw: Dataset[PageHtml] = pagesDs
-      .filter(p => !indexFiles.contains(fileName(p.url)))
-      .map(p => PageHtml(fileName(p.url), p.url, TextOps.decodeLatin1(p.html)))
+    // The staged passes run on the RDD layer deliberately: every stage
+    // is per-partition imperative logic over OPAQUE java-serialized
+    // payloads (the recursive entity tree has no Catalyst schema —
+    // SURVEY.md §7.4.2), so Catalyst had nothing to optimize here, and
+    // its per-job analysis was the dominant orchestration cost (~0.1 s
+    // per internal job). Dataset stays the boundary type: pages in,
+    // ReportJsonRow out.
+    val pagesRaw: org.apache.spark.rdd.RDD[PageHtml] = urlHtml
+      .filter { case (url, _) => !indexFiles.contains(fileName(url)) }
+      .map { case (url, html) =>
+        PageHtml(fileName(url), url, TextOps.decodeLatin1(html))
+      }
 
     // Duplicate-basename dedup (greatest url wins — same rule as
-    // corpusFromPages) happens ONCE, and only anomalous files pay (the
-    // detection ran in run() at session parallelism): corpora with
-    // unique file keys skip the reduction entirely — the pages side
-    // then streams through every stage join unshuffled.
-    val pages: Dataset[PageHtml] =
+    // corpusFromPages) happens ONCE, and only anomalous files pay:
+    // corpora with unique file keys skip the reduction entirely — the
+    // pages side then streams through every stage unshuffled. Past
+    // `dupSetBroadcastMax` anomalous names, the set is not shipped
+    // anywhere: the whole table is deduplicated with one distributed
+    // reduce instead (correct at any duplication cardinality).
+    def greatestUrl(a: PageHtml, b: PageHtml): PageHtml = if (a.url >= b.url) a else b
+    val pages: org.apache.spark.rdd.RDD[PageHtml] =
       if (dupFiles.isEmpty) pagesRaw
-      else {
+      else if (dupFiles.size <= dupSetBroadcastMax) {
         val bDup = spark.sparkContext.broadcast(dupFiles)
         val clean = pagesRaw.filter(p => !bDup.value.contains(p.file))
         val dedupedDups = pagesRaw.filter(p => bDup.value.contains(p.file))
-          .groupByKey(_.file)
-          .reduceGroups((a, b) => if (a.url >= b.url) a else b)
-          .map(_._2)
+          .keyBy(_.file).reduceByKey(greatestUrl _).values
         clean.union(dedupedDups)
+      } else {
+        pagesRaw.keyBy(_.file).reduceByKey(greatestUrl _).values
       }
 
-    /** One pass: requests grouped per file (small side, broadcast),
-      * inner-joined against the pages table; each matched page is
-      * parsed ONCE and all its requests applied row-locally.
+    /** One stage = ONE map-side pass over the pages scan: the request
+      * list (entity-scale by design — the reference's work lists) is
+      * broadcast as a plain per-file map, each matched page is parsed
+      * ONCE and all its requests applied row-locally. No join to plan,
+      * no broadcast-exchange build job, no shuffle; fragments stay
+      * distributed and only compact request rows return to the driver —
+      * exactly what a broadcast-hash-join alternative would collect for
+      * its build side anyway.
       */
-    // grouped-request encoders derived ONCE per run — TypeTag reflection
-    // per stage call would otherwise re-pay the derivation every metric
-    // level (the metric loop calls stage once per recursion depth)
-    import org.apache.spark.sql.Encoder
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val encReport: Encoder[(String, Seq[ReportReq])] = ExpressionEncoder()
-    implicit val encDs: Encoder[(String, Seq[DsReq])] = ExpressionEncoder()
-    implicit val encAttr: Encoder[(String, Seq[AttrReq])] = ExpressionEncoder()
-    implicit val encMetric: Encoder[(String, Seq[MetricReq])] = ExpressionEncoder()
-    implicit val encFact: Encoder[(String, Seq[FactReq])] = ExpressionEncoder()
-
-    def stage[R, O: Encoder](
-        reqs: Dataset[R])(fileOf: R => String)(
-        f: (Soup, MstrIndexes, Seq[R]) => Seq[O])(
-        implicit grouped: Encoder[(String, Seq[R])]): Dataset[O] = {
-      val perFile = reqs.groupByKey(fileOf).mapGroups((file, it) => (file, it.toSeq))
-      // pages was already deduped once up front, so this join sees at
-      // most one row per file and the parse runs map-side at scan
-      // parallelism — no page row ever crosses an exchange
-      pages.joinWith(broadcast(perFile), pages("file") === perFile("_1"))
-        .flatMap { case (pg, (_, rs)) => f(Soup.parse(pg.html), bIdx.value, rs) }
+    def stage[R](reqs: Seq[R])(fileOf: R => String)(
+        f: (Soup, MstrIndexes, Seq[R]) => Seq[Frag]): org.apache.spark.rdd.RDD[Frag] = {
+      val byFile: Map[String, Seq[R]] = reqs.groupBy(fileOf)
+      val bReq = spark.sparkContext.broadcast(byFile)
+      pages.flatMap { pg =>
+        bReq.value.get(pg.file) match {
+          case Some(rs) => f(Soup.parse(pg.html), bIdx.value, rs)
+          case None => Nil
+        }
+      }
     }
 
     // ---- stage R: report skeletons + dataset routing ----
@@ -223,10 +264,10 @@ object MstrJoinPipeline {
     // the broadcast engine's per-link flatMap — so the internal group
     // key is (report_id, link ordinal), folded into one string that all
     // downstream request/fragment rows carry opaquely
-    val reportReqs = spark.createDataset(
+    val reportReqs: Seq[ReportReq] =
       workLinks.zipWithIndex.map { case (l, i) =>
         ReportReq(l.file, l.name, l.href, i)
-      }.toSeq)
+      }.toSeq
 
     val rOut = stage(reportReqs)(_.file) { (soup, idx, rs) =>
       rs.flatMap { rq =>
@@ -254,8 +295,8 @@ object MstrJoinPipeline {
               }
           }
           val groupKey = s"$reportId" + "\u0000" + rq.ord
-          val skel = RStageOut(Some(Frag.of(groupKey, SkelFrag(
-            rq.name, s"${rq.file}#$reportId", owner, acl))), None)
+          val skel = Frag.of(groupKey, SkelFrag(
+            rq.name, s"${rq.file}#$reportId", owner, acl))
           val dsInfo = MstrParsers.extractDatasetsFromReport(soup, loc, rq.name,
             Some(reportId))
           skel +: dsInfo.zipWithIndex.flatMap { case ((dsName, dsIdOpt, _), ord) =>
@@ -265,8 +306,10 @@ object MstrJoinPipeline {
       }
     }.persist()
 
-    val skelFrags = rOut.flatMap(_.frag)
-    val dsReqs = rOut.flatMap(_.ds)
+    // the collect is the materializing action for rOut's cache; dataset
+    // requests are entity-scale (one per dataset link on a report page)
+    val dsReqs: Seq[DsReq] = rOut.filter(_.kind == Frag.KDs).collect()
+      .map(Frag.read(_).asInstanceOf[DsReq]).toSeq
 
     // ---- stage D: dataset pages → template objects → attr/metric reqs ----
     val dOut = stage(dsReqs)(_.file) { (soup, idx, rs) =>
@@ -283,12 +326,12 @@ object MstrJoinPipeline {
               Some(rq.ds_id))
             (ao, None, a, m)
           }
-        val dsFrag = DStageOut(Some(Frag.of(rq.report_id, DsFrag(
-          rq.ds_ord, rq.ds_name, rq.ds_id, rq.ds_file, appObject, graphic))), None, None)
+        val dsFrag = Frag.of(rq.report_id, DsFrag(
+          rq.ds_ord, rq.ds_name, rq.ds_id, rq.ds_file, appObject, graphic))
         val attrs = attrsInfo.zipWithIndex.flatMap { case (ai, i) =>
           idx.atributo.findLink(ai.id, Some(ai.nameOnDataset)).map { link =>
-            DStageOut(None, Some(AttrReq(rq.report_id, rq.ds_ord, i, link.name,
-              ai.nameOnDataset, link.file, link.anchor, rq.ds_id)), None)
+            Frag.req(Frag.KAttr, AttrReq(rq.report_id, rq.ds_ord, i, link.name,
+              ai.nameOnDataset, link.file, link.anchor, rq.ds_id))
           }
         }
         val mets = metricsInfo.zipWithIndex.map { case (mi, i) =>
@@ -296,45 +339,50 @@ object MstrJoinPipeline {
             case Some(link) =>
               val anchorOpt = if (link.anchor.nonEmpty) Some(link.anchor) else mi.id
               val (f, a) = splitPath(filePathOf(link))
-              DStageOut(None, None, Some(MetricReq(rq.report_id, rq.ds_ord, Seq(i),
-                rq.ds_id, link.name, f, a, anchorOpt, Nil)))
+              Frag.req(Frag.KMetric, MetricReq(rq.report_id, rq.ds_ord, Seq(i),
+                rq.ds_id, link.name, f, a, anchorOpt, Nil))
             case None =>
               // embedded/derived metric (report_extractor.py:263-285)
-              DStageOut(Some(Frag.of(rq.report_id, MetricNodeFrag(
+              Frag.of(rq.report_id, MetricNodeFrag(
                 rq.ds_ord, Seq(i), mi.nameOnDataset, mi.id.getOrElse(""), mi.href,
-                "embedded", Some("DerivedMetric"), None, None, None))), None, None)
+                "embedded", Some("DerivedMetric"), None, None, None))
           }
         }
         dsFrag +: (attrs ++ mets)
       }
     }.persist()
 
-    val dsFrags = dOut.flatMap(_.frag)
-    val attrReqs = dOut.flatMap(_.attr)
-
-    // ---- stage A: attribute pages → forms (attribute_extractor.py) ----
-    val attrFrags = stage(attrReqs)(_.file) { (soup, idx, rs) =>
-      rs.map { rq =>
-        val attrId =
-          if (rq.anchor.nonEmpty) rq.anchor
-          else rq.file.replace(".html", "").replace("_1", "")
-        val fullPath = if (rq.anchor.nonEmpty) s"${rq.file}#${rq.anchor}" else rq.file
-        val forms = MstrParsers.extractAttributeForms(soup, loc,
-          Some(rq.anchor).filter(_.nonEmpty)).map { case (fn, lts) =>
-          val resolved = lts.map { lt =>
-            val link = idx.tabelaLogica.findLink(Some(lt.id), Some(lt.name))
-            lt.copy(filePath = link.map(filePathOf).orElse(lt.filePath))
-          }
-          Formulario(guid(s"${attrId}_$fn"), fn, resolved)
-        }
-        Frag.of(rq.report_id, AttrFrag(rq.ds_ord, rq.ord,
-          Atributo(rq.official, rq.name_on_ds, attrId, fullPath, rq.ds_id,
-            Some("Atributo"), forms)))
+    // one action materializes dOut's cache AND returns both request
+    // kinds (attribute + first-level metric), again entity-scale rows
+    val l1Reqs: Seq[Either[AttrReq, MetricReq]] =
+      dOut.filter(_.kind != Frag.KFrag).collect().toSeq.map { f =>
+        if (f.kind == Frag.KAttr) Left(Frag.read(f).asInstanceOf[AttrReq])
+        else Right(Frag.read(f).asInstanceOf[MetricReq])
       }
+
+    // ---- stage A body: attribute pages → forms (attribute_extractor.py);
+    // fused into the first level pass so attribute and metric pages are
+    // served by the same scan ----
+    def attrStage(soup: Soup, idx: MstrIndexes, rq: AttrReq): Frag = {
+      val attrId =
+        if (rq.anchor.nonEmpty) rq.anchor
+        else rq.file.replace(".html", "").replace("_1", "")
+      val fullPath = if (rq.anchor.nonEmpty) s"${rq.file}#${rq.anchor}" else rq.file
+      val forms = MstrParsers.extractAttributeForms(soup, loc,
+        Some(rq.anchor).filter(_.nonEmpty)).map { case (fn, lts) =>
+        val resolved = lts.map { lt =>
+          val link = idx.tabelaLogica.findLink(Some(lt.id), Some(lt.name))
+          lt.copy(filePath = link.map(filePathOf).orElse(lt.filePath))
+        }
+        Formulario(guid(s"${attrId}_$fn"), fn, resolved)
+      }
+      Frag.of(rq.report_id, AttrFrag(rq.ds_ord, rq.ord,
+        Atributo(rq.official, rq.name_on_ds, attrId, fullPath, rq.ds_id,
+          Some("Atributo"), forms)))
     }
 
     // ---- stage M (iterated): metric definitions + recursion frontier ----
-    def metricStage(soup: Soup, idx: MstrIndexes, rs: Seq[MetricReq]): Seq[MStageOut] =
+    def metricStage(soup: Soup, idx: MstrIndexes, rs: Seq[MetricReq]): Seq[Frag] =
       rs.flatMap { rq =>
         // cycle check on the branch path (extractor_helpers.py:19-38)
         val cycleId = rq.id_opt.getOrElse(rq.anchor)
@@ -358,13 +406,13 @@ object MstrJoinPipeline {
               else idx.metrica.findMetricLink("", Some(cid)).map { link =>
                 added += cid
                 val (f, a) = splitPath(filePathOf(link))
-                MStageOut(None, Some(MetricReq(rq.report_id, rq.ds_ord, rq.pos :+ k,
-                  rq.ds_id, link.name, f, a, Some(cid), newPath)), None)
+                Frag.req(Frag.KMetric, MetricReq(rq.report_id, rq.ds_ord, rq.pos :+ k,
+                  rq.ds_id, link.name, f, a, Some(cid), newPath))
               }
             }
-            MStageOut(Some(Frag.of(rq.report_id, MetricNodeFrag(rq.ds_ord,
+            Frag.of(rq.report_id, MetricNodeFrag(rq.ds_ord,
               rq.pos, rq.name, outId, fullPath, tipo, Some("Metrica"), defn.formula,
-              None, None))), None, None) +: kids
+              None, None)) +: kids
           } else {
             val function = defn.functionId.flatMap { fid =>
               idx.funcao.findById(fid).map(l => FunctionRef(l.name, fid, filePathOf(l)))
@@ -382,38 +430,53 @@ object MstrJoinPipeline {
                     factPath.split("#", 2)(0), factAnchor)))
               }
             }.getOrElse((None, None))
-            Seq(MStageOut(Some(Frag.of(rq.report_id, MetricNodeFrag(rq.ds_ord,
+            Frag.of(rq.report_id, MetricNodeFrag(rq.ds_ord,
               rq.pos, rq.name, outId, fullPath, tipo, Some("Metrica"), defn.formula,
-              function, fact))), None, factReq))
+              function, fact)) :: factReq.map(Frag.req(Frag.KFact, _)).toList
           }
         }
       }
 
-    // each level's emptiness probe rides the SAME action that
-    // materializes the level (count of non-null children) — one job per
-    // level instead of a separate isEmpty pass
-    var frontier = dOut.flatMap(_.metric)
-    var nFrontier = dOut.select(count(col("metric"))).first().getLong(0)
-    var mnodeFrags = spark.emptyDataset[Frag]
-    var factReqs = spark.emptyDataset[FactReq]
-    val persisted = scala.collection.mutable.ArrayBuffer[Dataset[_]](rOut, dOut)
+    // ---- fused level loop: level 1 serves attribute AND first-level
+    // metric requests from one scan; deeper levels carry the recursion
+    // frontier. One job per level: the collect of follow-up request
+    // rows doubles as the materializing action for the level's
+    // fragment cache.
+    def fusedStage(soup: Soup, idx: MstrIndexes,
+                   rs: Seq[Either[AttrReq, MetricReq]]): Seq[Frag] =
+      rs.flatMap {
+        case Left(a)  => Seq(attrStage(soup, idx, a))
+        case Right(m) => metricStage(soup, idx, Seq(m))
+      }
+    def fileOfEither(e: Either[AttrReq, MetricReq]): String =
+      e.fold(_.file, _.file)
+
+    var frontier: Seq[Either[AttrReq, MetricReq]] = l1Reqs
+    var mnodeFrags = spark.sparkContext.emptyRDD[Frag]
+    var factReqs = List.empty[FactReq]
+    val persisted =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]](rOut, dOut)
     var depth = 0
-    while (nFrontier > 0 && depth < 64) {
+    while (frontier.nonEmpty && depth < 64) {
       depth += 1
-      val out = stage(frontier)(_.file)(metricStage).persist()
+      val out = stage(frontier)(fileOfEither)(fusedStage).persist()
       persisted += out
-      nFrontier = out.select(count(col("child"))).first().getLong(0)
-      mnodeFrags = mnodeFrags.union(out.flatMap(_.frag))
-      factReqs = factReqs.union(out.flatMap(_.factReq))
-      frontier = out.flatMap(_.child)
+      val next = out.filter(_.kind != Frag.KFrag).collect()
+      mnodeFrags = mnodeFrags.union(out)
+      factReqs = factReqs ++ next.iterator.filter(_.kind == Frag.KFact)
+        .map(Frag.read(_).asInstanceOf[FactReq])
+      frontier = next.iterator.filter(_.kind == Frag.KMetric)
+        .map(f => Right(Frag.read(f).asInstanceOf[MetricReq])).toSeq
     }
     // a >64-deep acyclic composite chain must fail LOUDLY, not emit a
     // silently truncated tree diverging from the broadcast-path engine
-    if (nFrontier > 0)
+    if (frontier.nonEmpty)
       throw new IllegalStateException(
-        s"composite-metric recursion exceeded depth 64 with $nFrontier pending requests")
+        s"composite-metric recursion exceeded depth 64 with ${frontier.size} pending requests")
 
-    // ---- stage F: fact pages → logic tables (fact_parser.py) ----
+    // ---- stage F: fact pages → logic tables (fact_parser.py); lazy —
+    // its fragments are first (and only) computed inside the assembly
+    // job, so it adds no orchestration job of its own ----
     val factFrags = stage(factReqs)(_.file) { (soup, idx, rs) =>
       rs.map { rq =>
         val lts = MstrParsers.extractFactLogicTables(soup, loc,
@@ -426,10 +489,13 @@ object MstrJoinPipeline {
     }
 
     // ---- assembly: one group per report builds the nested tree ----
-    val allFrags = skelFrags.union(dsFrags).union(attrFrags)
-      .union(mnodeFrags).union(factFrags)
+    // (request rows still sit in the stage caches; one filter drops them)
+    val allFrags = spark.sparkContext
+      .union(rOut, dOut, mnodeFrags, factFrags)
+      .filter(_.kind == Frag.KFrag)
 
-    val assembled = allFrags.groupByKey(_.report_id).flatMapGroups { (key, it) =>
+    val assembled = allFrags.groupBy(_.report_id, internalShufflePartitions)
+      .flatMap { case (key, it) =>
       // the group key is report_id + NUL + link ordinal (one group —
       // hence one output row — per documento-index LINK, even when the
       // same report id is listed twice); strip the ordinal back off for
@@ -466,9 +532,8 @@ object MstrJoinPipeline {
         ReportJsonRow(rid, sk.name, sk.file_path, JsonExport.exportOne(r))
       }
     }
-    // materialize eagerly so every internal job runs under the scoped
-    // shuffle width; callers get the cached result
-    val result = assembled.persist()
+    // materialize eagerly; callers get the cached result
+    val result = spark.createDataset(assembled).persist()
     result.count()
     // the intermediate caches served their purpose during assembly —
     // release them so repeated run() calls don't pin blocks for the
@@ -484,25 +549,24 @@ object MstrJoinPipeline {
     */
   private def routeDataset(idx: MstrIndexes, groupKey: String, reportId: String,
                            ord: Int, dsName: String,
-                           dsIdOpt: Option[String]): Seq[RStageOut] = {
+                           dsIdOpt: Option[String]): Seq[Frag] = {
     val dsId0 = dsIdOpt.getOrElse("")
     // fallback GUIDs seed from the PLAIN report id (engine parity), while
     // request/fragment rows carry the per-link group key
     MstrIndexes.resolveDatasetLink(idx, Some(dsId0).filter(_.nonEmpty), Some(dsName)) match {
       case None =>
         val id = if (dsId0.nonEmpty) dsId0 else guid(s"$reportId:$dsName")
-        Seq(RStageOut(Some(Frag.of(groupKey, DsFrag(ord, dsName, id, "",
-          Some(""), None))), None))
+        Seq(Frag.of(groupKey, DsFrag(ord, dsName, id, "", Some(""), None)))
       case Some((dsFile, source)) =>
         var dsId = dsId0
         if (dsId.isEmpty && dsFile.contains("#")) dsId = dsFile.split("#", 2)(1)
         if (dsId.isEmpty) dsId = guid(s"$reportId:$dsName")
         if (source == "Shortcut")
-          Seq(RStageOut(Some(Frag.of(groupKey, DsFrag(ord, dsName, dsId, dsFile,
-            Some("Shortcut"), None))), None))
+          Seq(Frag.of(groupKey, DsFrag(ord, dsName, dsId, dsFile,
+            Some("Shortcut"), None)))
         else
-          Seq(RStageOut(None, Some(DsReq(groupKey, ord, dsName, dsId, dsFile,
-            dsFile.split("#", 2)(0), source))))
+          Seq(Frag.req(Frag.KDs, DsReq(groupKey, ord, dsName, dsId, dsFile,
+            dsFile.split("#", 2)(0), source)))
     }
   }
 }

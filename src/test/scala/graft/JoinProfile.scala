@@ -8,22 +8,26 @@ object JoinProfile {
     graft.mstr.MstrJoinPipeline.run(spark,
       spark.createDataset(graft.fixtures.MstrCorpus.pages).repartition(2)).count()
     var jobs = 0
-    val starts = scala.collection.mutable.Map.empty[Int, Long]
+    @volatile var t0 = 0L
+    val events = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = {
-        starts(j.jobId) = System.nanoTime(); jobs += 1
+      override def onJobStart(j: SparkListenerJobStart): Unit = synchronized {
+        jobs += 1
+        val site = j.stageInfos.map(s => s.name.takeWhile(_ != '\n')).mkString(" | ")
+        events += ((s"start ${j.jobId} [$site]", (System.nanoTime() - t0) / 1e9))
       }
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        val w = (System.nanoTime() - starts.getOrElse(j.jobId, System.nanoTime())) / 1e9
-        if (w > 0.2) println(f"PROFJOB ${j.jobId} $w%.2f s")
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = synchronized {
+        events += ((s"end   ${j.jobId}", (System.nanoTime() - t0) / 1e9))
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    val t0 = System.nanoTime()
+    t0 = System.nanoTime()
     graft.mstr.MstrJoinPipeline.run(spark,
       spark.createDataset(graft.fixtures.MstrCorpus.pages).repartition(2)).count()
+    val total = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500)
-    println(f"PROF total ${(System.nanoTime()-t0)/1e9}%.2f s jobs=$jobs")
+    events.foreach { case (e, t) => println(f"PROFJOB $e at $t%.3f s") }
+    println(f"PROF total $total%.2f s jobs=$jobs")
     spark.stop()
   }
 }

@@ -62,6 +62,27 @@ class MstrJoinSpec extends AnyFunSuite {
     assert(viaJoin == clean, "join plan must keep the greatest-url page")
   }
 
+  test("mass-duplicated basenames stay correct WITHOUT a driver dup set (distributed dedup)") {
+    import spark.implicits._
+    // every content page shadowed => every basename is duplicated; with
+    // dupSetBroadcastMax = 0 the pipeline must refuse to carry the dup
+    // set and instead dedup the whole table distributed — and still be
+    // byte-identical to the clean broadcast run
+    val shadowed = MstrCorpus.pages.flatMap { p =>
+      val name = p.url.substring(p.url.lastIndexOf('/') + 1)
+      Seq(p.copy(url = s"mstr://aaa/$name",
+        html = "<html>junk twin</html>".getBytes("ISO-8859-1")), p)
+    }
+    val clean = MstrPipeline.run(spark, MstrCorpus.pages, "pt-BR")._1
+      .collect().map(r => r.report_id -> r.json).toMap
+    val viaJoin = MstrJoinPipeline.run(spark,
+      spark.createDataset(shadowed).repartition(4), "pt-BR",
+      dupSetBroadcastMax = 0)
+      .collect().map(r => r.report_id -> r.json).toMap
+    assert(viaJoin == clean,
+      "distributed-dedup path must keep the greatest-url page for every basename")
+  }
+
   test("join path drops reports whose content page is missing (engine None semantics)") {
     import spark.implicits._
     val docFile = graft.mstr.MstrLocale.ptBR.documento
