@@ -148,29 +148,51 @@ object DedupOps {
     * by the already-propagated distance.
     */
   def connectedComponents(rawPairs: DataFrame, labelRounds: Int = 3): DataFrame = {
+    // AQE materializes every exchange of every round as its own driver
+    // job (plus broadcast-build jobs once a side's runtime stats look
+    // small); in an iterative loop that fixed orchestration dominates —
+    // the per-round tables are label/edge-scale and the shuffle width
+    // is already the session's. Scope AQE off for the loop.
+    val spark = rawPairs.sparkSession
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try connectedComponentsImpl(rawPairs, labelRounds)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+    }
+  }
+
+  private def connectedComponentsImpl(rawPairs: DataFrame,
+                                      labelRounds: Int): DataFrame = {
     // self-loops carry no connectivity (and star contraction drops
     // them) — filter up front so both paths emit the same node set
     val pairs = rawPairs.filter(col("a") =!= col("b"))
+    // LAZY local checkpoints throughout: materialization (and lineage
+    // truncation) rides the round's O(1)-row probe aggregation, so each
+    // round costs exactly ONE job instead of checkpoint + probe
     val edges = pairs.select(col("a").as("s"), col("b").as("t"))
       .union(pairs.select(col("b").as("s"), col("a").as("t")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // round 0 folded into initialization: every node starts at the min
     // of itself and its direct neighbors (one aggregation, no join)
     var labels = edges.groupBy(col("s").as("doc_id"))
       .agg(min(col("t")).as("nmin"))
       .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // labels decrease monotonically, so sum(component) strictly drops
     // until the fixpoint — an O(1)-row convergence probe instead of a
-    // full join-and-compare pass
-    def labelSum(): Long = {
-      // sum() over zero rows is NULL — empty candidate set must yield an
-      // empty component table, not an NPE
-      val r = labels.agg(sum(col("component"))).head
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // full join-and-compare pass. count rides the same aggregation
+    // (empty candidate set must converge immediately, not NPE on the
+    // NULL sum).
+    def probe(): (Long, Long) = {
+      val r = labels.agg(sum(col("component")), count(lit(1))).head
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
     }
-    var prevSum = labelSum()
-    var converged = labels.isEmpty
+    var (prevSum, n0) = probe()
+    var converged = n0 == 0L
     var round = 0
     while (!converged && round < labelRounds) {
       round += 1
@@ -182,8 +204,8 @@ object DedupOps {
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
-        .localCheckpoint(true)
-      val s = labelSum()
+        .localCheckpoint(false)
+      val (s, _) = probe()
       converged = s == prevSum
       prevSum = s
     }
@@ -215,8 +237,10 @@ object DedupOps {
       least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
+    // lazy checkpoints again: the probe is the materializing action, so
+    // each contraction round costs one job
     def edgeSum(df: DataFrame): Long = {
       val r = df.agg(sum(col("u") + col("v"))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -246,7 +270,7 @@ object DedupOps {
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       edges = small
       prev = cur
       cur = edgeSum(edges)
