@@ -32,6 +32,7 @@ object SparkEntry {
     "q_media_frames" -> ((s, d) => MultimodalOps.framesQuery(s, d)),
     "q_media_image" -> ((s, d) => MultimodalOps.imageDecodeQuery(s, d)),
     "q_media_resize" -> ((s, d) => MultimodalOps.imageResizeQuery(s, d)),
+    "q_media_audio" -> ((s, d) => MultimodalOps.audioDecodeQuery(s, d)),
     // ---- MSTR entity pipeline on the deterministic fixture corpus ----
     // (byte-identity asserted in MstrSpec; here rows-only sanity)
     "q_mstr_reports" -> ((s, _) => MstrQueries.reports(s)),
@@ -159,6 +160,18 @@ object SparkEntry {
                   j -> list_transform(generate_series(0, width - 1),
                     i -> (doc_id * 31 + i * 7 + j * 13) % 256)))) AS BIGINT) AS luma_sum
          FROM dims""",
+
+    // the oracle recomputes REAL decoded sample stats from the WAV
+    // generation formula — the JDK's RIFF/PCM parse must exactly invert
+    // the hand-rolled encode
+    "q_media_audio" ->
+      """WITH a AS (SELECT doc_id, CAST(256 + doc_id % 256 AS BIGINT) AS n FROM documents)
+         SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n AS n_samples,
+                CAST(list_sum(list_transform(generate_series(0, n - 1),
+                  i -> abs((doc_id * 37 + i * 101) % 65536 - 32768))) AS BIGINT) AS sum_abs,
+                CAST(list_max(list_transform(generate_series(0, n - 1),
+                  i -> abs((doc_id * 37 + i * 101) % 65536 - 32768))) AS INT) AS peak_abs
+         FROM a""",
 
     "q_media_resize" ->
       """WITH dims AS (

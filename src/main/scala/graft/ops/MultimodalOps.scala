@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * (the Scala analog of `mapInPandas` batch UDFs).
   *
   * Image decode is REAL (the JDK ships a PNG codec — see
-  * [[MultimodalOps.decodeImages]]); the audio/video decode below stays
-  * a clearly-marked STUB (no audio/video codecs in the JDK) producing
+  * [[MultimodalOps.decodeImages]]) and so is audio (WAV/PCM through the
+  * JDK's javax.sound.sampled parser — see
+  * [[MultimodalOps.decodeAudio]]). Only VIDEO decode stays a
+  * clearly-marked STUB (no video codec in the JDK) producing
   * deterministic md5-derived pseudo-features, so the Spark-side
   * plumbing (binary column, schema, partitioning, batch iterator
   * shape) is real and oracle-checkable while the codec call is
@@ -175,4 +177,93 @@ object MultimodalOps {
 
   def imageResizeQuery(spark: SparkSession, dir: String): DataFrame =
     resizeImages(imagesFromDocuments(spark, dir))
+
+  // ------------------------------------------------------------------
+  // REAL audio decode — WAV/PCM needs no external codec: the payload is
+  // a RIFF container the JDK parses natively (javax.sound.sampled).
+  // Deterministic 16-bit mono WAVs are synthesized per doc by a
+  // hand-rolled RIFF writer; the operator decodes them through the
+  // JDK's own WAV reader (a true write/parse inversion, like the PNG
+  // leg), and the oracle recomputes the expected sample statistics from
+  // the generation formula. Video remains the only stubbed codec.
+  // ------------------------------------------------------------------
+
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int,
+                                 n_samples: Long, sum_abs: Long, peak_abs: Int)
+
+  /** Deterministic test clip for doc `id`: 8 kHz mono 16-bit PCM,
+    * n = 256 + id % 256 samples, sample(i) = (id*37 + i*101) mod 65536
+    * - 32768 — full-range, reconstructible by pure arithmetic.
+    */
+  def genWav(docId: Long): Array[Byte] = {
+    val n = 256 + (docId % 256).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(8000) // sample rate
+    bb.putInt(8000 * 2) // byte rate
+    bb.putShort(2) // block align
+    bb.putShort(16) // bits per sample
+    bb.put("data".getBytes(ascii)); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((docId * 37 + i * 101) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  def audioFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "audio", genWav(id))))
+  }
+
+  /** Batched REAL decode through the JDK's WAV parser: RIFF header →
+    * format fields, data chunk → little-endian int16 samples → integral
+    * statistics. Undecodable payloads drop the row (same semantics as
+    * the image leg — AudioSystem throws, ImageIO returns null).
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+              fmt.getChannels == 1, s"unsupported PCM layout: $fmt")
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            var sumAbs = 0L
+            var peak = 0
+            var i = 0
+            while (i < n) {
+              val s = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toInt
+              val a = math.abs(s)
+              sumAbs += a
+              if (a > peak) peak = a
+              i += 1
+            }
+            Some(AudioFeatures(m.doc_id, fmt.getSampleRate.toInt, n.toLong,
+              sumAbs, peak))
+          } finally ais.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        }
+      }
+    }
+  }
+
+  def audioDecodeQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeAudio(audioFromDocuments(spark, dir)).toDF()
 }
