@@ -22,6 +22,10 @@ import org.apache.spark.sql.SparkSession
   *                     deterministic fixture corpus
   *  - `--output-json <dir>` write per-report JSON (the export_to_json
   *                     analog) as a parquet of (report_id, json)
+  *  - `--broadcast-max-bytes <n>` plan-dispatch threshold for --pages
+  *                     corpora (default 64 MB): at most n on-disk bytes
+  *                     → collect + broadcast plan; larger → distributed
+  *                     join plan. Same bytes either way.
   *
   * Selection precedence mirrors the reference exactly: report-id, then
   * report name, then filter, else all.
@@ -34,7 +38,17 @@ object MstrMain {
                           dryRun: Boolean = false,
                           lang: String = "pt-BR",
                           pagesPath: Option[String] = None,
-                          outputJson: Option[String] = None)
+                          outputJson: Option[String] = None,
+                          broadcastMaxBytes: Long = DefaultBroadcastMaxBytes)
+
+  /** Dispatch threshold (on-disk corpus bytes): a corpus this small is
+    * cheaper to collect + broadcast (the MstrPipeline plan, ~0 fixed
+    * cost) than to run through the staged join plan (~1 s of driver
+    * orchestration); larger corpora must stay distributed. 64 MB
+    * compressed keeps the broadcast comfortably under typical
+    * driver/executor memory even at ~4x decompression.
+    */
+  val DefaultBroadcastMaxBytes: Long = 64L << 20
 
   def parseArgs(args: Array[String]): Config = {
     @annotation.tailrec
@@ -46,6 +60,8 @@ object MstrMain {
       case "--locale" :: v :: t => loop(t, c.copy(lang = v))
       case "--pages" :: v :: t => loop(t, c.copy(pagesPath = Some(v)))
       case "--output-json" :: v :: t => loop(t, c.copy(outputJson = Some(v)))
+      case "--broadcast-max-bytes" :: v :: t =>
+        loop(t, c.copy(broadcastMaxBytes = v.toLong))
       case Nil => c
       case bad :: _ => throw new IllegalArgumentException(s"unknown arg: $bad")
     }
@@ -102,6 +118,43 @@ object MstrMain {
     }
   }
 
+  /** On-disk corpus size from file status only — no Spark job, no scan.
+    * Compressed parquet bytes are a conservative proxy for broadcast
+    * cost (decompression expands, which the threshold's margin covers).
+    */
+  def corpusBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+  }
+
+  /** Size-based physical-plan dispatch for an external pages corpus
+    * (BASELINE.md rule: broadcast below the threshold, join above it).
+    * Below `broadcastMaxBytes` the corpus is collected and run through
+    * the broadcast plan — a 30-page export finishes in milliseconds
+    * instead of paying the join plan's fixed orchestration; at or above
+    * it the pages stay distributed. Both plans are byte-identical
+    * (MstrJoinSpec), so the choice is purely physical. Returns the plan
+    * name alongside the reports.
+    */
+  def extractFromParquet(spark: SparkSession, path: String,
+                         cfg: Config): (String, org.apache.spark.sql.Dataset[ReportJsonRow]) = {
+    import spark.implicits._
+    val pagesDs = spark.read.parquet(path).as[PageRow]
+    if (corpusBytes(spark, path) <= cfg.broadcastMaxBytes) {
+      val pages = pagesDs.collect().toSeq
+      val loc = MstrLocale.forLang(cfg.lang)
+      val indexes = MstrPipeline.buildIndexes(MstrPipeline.corpusFromPages(pages), loc)
+      val selected = selectReports(indexes.documento, cfg)
+      val (reports, _, _) =
+        MstrPipeline.run(spark, pages, cfg.lang, selection = Some(selected))
+      ("broadcast", reports)
+    } else {
+      ("join", MstrJoinPipeline.run(spark, pagesDs, cfg.lang,
+        select = Some(idx => selectReports(idx, cfg))))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args)
     val spark = SparkSession.builder()
@@ -115,14 +168,14 @@ object MstrMain {
       import spark.implicits._
       cfg.pagesPath match {
         case Some(p) =>
-          // an external pages table may be arbitrarily large: route it
-          // through the join-based plan (distributed pages; only the
-          // index files are collected) instead of collect + broadcast.
-          // The selection flags narrow the work list exactly as in the
-          // broadcast plan — selection is index-driven, never a corpus
-          // scan.
-          val pagesDs = spark.read.parquet(p).as[PageRow]
+          // external pages table: size-dispatched between the broadcast
+          // plan (small corpora — no fixed orchestration cost) and the
+          // join plan (arbitrarily large corpora — distributed pages,
+          // only the index files collected). The selection flags narrow
+          // the work list identically in both plans — selection is
+          // index-driven, never a corpus scan.
           if (cfg.dryRun) {
+            val pagesDs = spark.read.parquet(p).as[PageRow]
             val loc = MstrLocale.forLang(cfg.lang)
             val idxPages = pagesDs.filter((r: PageRow) =>
               r.url.endsWith("/" + loc.documento) || r.url == loc.documento).collect()
@@ -132,9 +185,8 @@ object MstrMain {
             println(s"Found $n reports" +
               cfg.filter.map(f => s" (filtered by '$f')").getOrElse(""))
           } else {
-            val reports = MstrJoinPipeline.run(spark, pagesDs, cfg.lang,
-              select = Some(idx => selectReports(idx, cfg)))
-            println(s"Extracted ${reports.count()} report(s)")
+            val (plan, reports) = extractFromParquet(spark, p, cfg)
+            println(s"Extracted ${reports.count()} report(s) [$plan plan]")
             cfg.outputJson.foreach { out =>
               reports.toDF().write.mode("overwrite").parquet(out)
               println(s"JSON export completed: $out")

@@ -68,6 +68,24 @@ class MstrMainSpec extends AnyFunSuite {
     assert(joined.head.json == viaBroadcast.head.json)
   }
 
+  test("size dispatch: small --pages corpus takes the broadcast plan, large the join plan, same bytes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mstr-dispatch").toString
+    spark.createDataset(MstrCorpus.pages).write.mode("overwrite").parquet(dir)
+    // fixture parquet is a few hundred KB — under the default threshold
+    assert(MstrMain.corpusBytes(spark, dir) > 0)
+    val (planSmall, small) = MstrMain.extractFromParquet(spark, dir, Config())
+    assert(planSmall == "broadcast", "small corpus must take the broadcast plan")
+    // force the corpus to count as large: threshold 0 routes to the join plan
+    val (planLarge, large) =
+      MstrMain.extractFromParquet(spark, dir, Config(broadcastMaxBytes = 0L))
+    assert(planLarge == "join", "over-threshold corpus must take the join plan")
+    val a = small.collect().map(r => r.report_id -> r.json).toMap
+    val b = large.collect().map(r => r.report_id -> r.json).toMap
+    assert(a == b, "both plans must produce identical bytes")
+    assert(a.nonEmpty)
+  }
+
   test("--dry-run counts without extracting; selection drives extraction") {
     val (nDry, none) = MstrMain.execute(spark, MstrCorpus.pages,
       Config(dryRun = true, filter = Some("relatório")))
