@@ -45,13 +45,39 @@ final class TableIO(root: String) {
   private def nextId(): Long =
     (snapshots().map(_.id) ++ historyIds()).maxOption.getOrElse(0L) + 1
 
+  /** Reserve snapshot `id` by creating its data directory — an atomic
+    * filesystem operation, so of two racing writers that both computed
+    * the same next id exactly one wins; the loser fails LOUDLY here
+    * instead of having its commit silently vanish when the other
+    * writer's manifest move lands last. (Single-writer per table root —
+    * one Spark driver owning the commit, as with Iceberg — remains the
+    * documented model; this guard makes a violation an error, not data
+    * loss.)
+    */
+  private def reserveDir(id: Long): String = {
+    val dir = s"snap-$id"
+    Files.createDirectories(Paths.get(root))
+    try { Files.createDirectory(Paths.get(root, dir)); dir }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"snapshot id $id already reserved under $root — concurrent writer " +
+            "detected; this table root is single-writer and the losing commit " +
+            "fails loudly instead of silently overwriting")
+    }
+  }
+
   /** Atomically install `lines` as the live manifest and file the
     * history copy for commit `id`.
     */
   private def commitManifest(lines: String, id: Long): Unit = {
     Files.createDirectories(historyDir)
+    // CREATE_NEW: a same-id history file means another writer got here
+    // first — fail rather than overwrite its record
     Files.write(historyDir.resolve(s"manifest-$id.json"),
-      lines.getBytes(StandardCharsets.UTF_8))
+      lines.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
     val tmp = Paths.get(root, ".manifest.tmp")
     Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
@@ -83,10 +109,9 @@ final class TableIO(root: String) {
     * move) so a crash mid-commit leaves the previous snapshot intact.
     */
   def appendSnapshot(df: DataFrame): Snapshot = {
-    Files.createDirectories(Paths.get(root))
     val prev = snapshots()
     val id = nextId()
-    val dir = s"snap-$id"
+    val dir = reserveDir(id)
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dir")
     val rows = df.sparkSession.read.parquet(s"$root/$dir").count()
     val line = s"""{"id":$id,"dir":"$dir","rows":$rows}"""
@@ -130,9 +155,8 @@ final class TableIO(root: String) {
     * on disk for rollback; the manifest only references the new one.
     */
   def replaceWith(df: DataFrame): Snapshot = {
-    Files.createDirectories(Paths.get(root))
     val id = nextId()
-    val dir = s"snap-$id"
+    val dir = reserveDir(id)
     // materialize BEFORE truncating the manifest: df may read prior snapshots
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dir")
     val rows = df.sparkSession.read.parquet(s"$root/$dir").count()

@@ -199,6 +199,23 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](io.rollbackTo(9999L))
   }
 
+  test("interleaved writers: the losing commit throws instead of silently vanishing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-race").toString
+    val io = new TableIO(root)
+    io.appendSnapshot(Seq(("u1", 1)).toDF("key", "v"))
+    // a second writer that read the same manifest state has already
+    // reserved the next snapshot id by creating its directory — the
+    // atomic createDirectory is the commit reservation
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(root, "snap-2"))
+    val e = intercept[IllegalStateException] {
+      io.appendSnapshot(Seq(("u2", 2)).toDF("key", "v"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the surviving state is intact: first commit still the live view
+    assert(io.readTable(spark).get.as[(String, Int)].collect().toMap == Map("u1" -> 1))
+  }
+
   test("entry flagship returns rows on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
