@@ -152,8 +152,15 @@ object MstrJoinPipeline {
       // corpusFromPages rule) and detect duplicate basenames. Non-index
       // html is dropped BEFORE the exchange and counts combine map-side
       // (reduceByKey), so the shuffle carries one (basename, count) row
-      // per distinct name plus at most 9 html payloads.
-      val scanRows: Array[(String, (Long, String, Array[Byte]))] = urlHtml
+      // per distinct name plus at most 9 html payloads. What returns to
+      // the driver is BOUNDED: index rows ride in full (≤10), duplicated
+      // basenames are counted exactly but their NAME SET is capped at
+      // dupSetBroadcastMax — past the cap the set is discarded and the
+      // distributed-dedup path runs, so no corpus can pin an unbounded
+      // set on the driver.
+      val cap = math.max(dupSetBroadcastMax, 0)
+      type Acc = (Vector[(String, Array[Byte])], Set[String], Long)
+      val (idxRows, dupSample, nDup) = urlHtml
         .map { case (url, html) =>
           val file = fileName(url)
           (file, (1L, url, if (indexFiles.contains(file)) html else null))
@@ -162,21 +169,28 @@ object MstrJoinPipeline {
           val hi = if (a._2 >= b._2) a else b
           (a._1 + b._1, hi._2, hi._3)
         }
-        .filter { case (_, (n, _, ih)) => n > 1 || ih != null }
-        .collect()
+        .aggregate((Vector.empty[(String, Array[Byte])], Set.empty[String], 0L): Acc)(
+          seqOp = { case ((idx, dups, n), (file, (cnt, _, ih))) =>
+            val idx2 = if (ih != null) idx :+ (file -> ih) else idx
+            val isDup = cnt > 1 && ih == null && !indexFiles.contains(file)
+            val dups2 = if (isDup && dups.size <= cap) dups + file else dups
+            (idx2, dups2, if (isDup) n + 1 else n)
+          },
+          combOp = { case ((i1, d1, n1), (i2, d2, n2)) =>
+            (i1 ++ i2, (d1 ++ d2).take(cap + 1), n1 + n2)
+          })
 
-      val indexHtml: Map[String, String] = scanRows.iterator
-        .filter(_._2._3 != null)
-        .map { case (file, (_, _, ih)) => file -> TextOps.decodeLatin1(ih) }
+      val indexHtml: Map[String, String] = idxRows.iterator
+        .map { case (file, ih) => file -> TextOps.decodeLatin1(ih) }
         .toMap
-      val dupFiles: Set[String] = scanRows.iterator
-        .filter(_._2._1 > 1)
-        .map(_._1)
-        .filterNot(indexFiles.contains)
-        .toSet
+      // complete set only when every duplicated name fit under the cap
+      val dupFiles: Option[Set[String]] =
+        if (nDup == 0) Some(Set.empty)
+        else if (nDup <= cap && dupSample.size == nDup) Some(dupSample)
+        else None
 
       runScoped(spark, urlHtml, lang, select, indexHtml, dupFiles,
-        dupSetBroadcastMax, internalShufflePartitions)
+        internalShufflePartitions)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
@@ -190,15 +204,23 @@ object MstrJoinPipeline {
                         lang: String,
                         select: Option[LinkIndex => Seq[LinkResult]],
                         indexHtml: Map[String, String],
-                        dupFiles: Set[String],
-                        dupSetBroadcastMax: Int,
+                        dupFiles: Option[Set[String]],
                         internalShufflePartitions: Int): Dataset[ReportJsonRow] = {
     import spark.implicits._
     val loc = MstrLocale.forLang(lang)
     val indexFiles: Set[String] = indexFileSet(loc)
 
+    // driver-side stage timing, enabled by GRAFT_JOIN_PROF=1
+    val profT0 = System.nanoTime()
+    val prof: String => Unit =
+      if (sys.env.get("GRAFT_JOIN_PROF").contains("1"))
+        tag => System.err.println(
+          f"JOINPROF $tag at ${(System.nanoTime() - profT0) / 1e9}%.2f s")
+      else _ => ()
+
     val indexes = MstrPipeline.buildIndexes(indexHtml, loc)
     val bIdx = spark.sparkContext.broadcast(indexes)
+    prof("indexes-built")
 
     // The staged passes run on the RDD layer deliberately: every stage
     // is per-partition imperative logic over OPAQUE java-serialized
@@ -216,22 +238,22 @@ object MstrJoinPipeline {
     // Duplicate-basename dedup (greatest url wins — same rule as
     // corpusFromPages) happens ONCE, and only anomalous files pay:
     // corpora with unique file keys skip the reduction entirely — the
-    // pages side then streams through every stage unshuffled. Past
-    // `dupSetBroadcastMax` anomalous names, the set is not shipped
+    // pages side then streams through every stage unshuffled. When the
+    // dup set was over the cap (None), it was never materialized
     // anywhere: the whole table is deduplicated with one distributed
     // reduce instead (correct at any duplication cardinality).
     def greatestUrl(a: PageHtml, b: PageHtml): PageHtml = if (a.url >= b.url) a else b
-    val pages: org.apache.spark.rdd.RDD[PageHtml] =
-      if (dupFiles.isEmpty) pagesRaw
-      else if (dupFiles.size <= dupSetBroadcastMax) {
-        val bDup = spark.sparkContext.broadcast(dupFiles)
+    val pages: org.apache.spark.rdd.RDD[PageHtml] = dupFiles match {
+      case Some(s) if s.isEmpty => pagesRaw
+      case Some(s) =>
+        val bDup = spark.sparkContext.broadcast(s)
         val clean = pagesRaw.filter(p => !bDup.value.contains(p.file))
         val dedupedDups = pagesRaw.filter(p => bDup.value.contains(p.file))
           .keyBy(_.file).reduceByKey(greatestUrl _).values
         clean.union(dedupedDups)
-      } else {
+      case None =>
         pagesRaw.keyBy(_.file).reduceByKey(greatestUrl _).values
-      }
+    }
 
     /** One stage = ONE map-side pass over the pages scan: the request
       * list (entity-scale by design — the reference's work lists) is
@@ -310,6 +332,7 @@ object MstrJoinPipeline {
     // requests are entity-scale (one per dataset link on a report page)
     val dsReqs: Seq[DsReq] = rOut.filter(_.kind == Frag.KDs).collect()
       .map(Frag.read(_).asInstanceOf[DsReq]).toSeq
+    prof(s"stage-R done (${dsReqs.size} ds reqs)")
 
     // ---- stage D: dataset pages → template objects → attr/metric reqs ----
     val dOut = stage(dsReqs)(_.file) { (soup, idx, rs) =>
@@ -359,6 +382,7 @@ object MstrJoinPipeline {
         if (f.kind == Frag.KAttr) Left(Frag.read(f).asInstanceOf[AttrReq])
         else Right(Frag.read(f).asInstanceOf[MetricReq])
       }
+    prof(s"stage-D done (${l1Reqs.size} l1 reqs)")
 
     // ---- stage A body: attribute pages → forms (attribute_extractor.py);
     // fused into the first level pass so attribute and metric pages are
@@ -462,6 +486,7 @@ object MstrJoinPipeline {
       val out = stage(frontier)(fileOfEither)(fusedStage).persist()
       persisted += out
       val next = out.filter(_.kind != Frag.KFrag).collect()
+      prof(s"level $depth done (${next.length} follow-ups)")
       mnodeFrags = mnodeFrags.union(out)
       factReqs = factReqs ++ next.iterator.filter(_.kind == Frag.KFact)
         .map(Frag.read(_).asInstanceOf[FactReq])
@@ -533,8 +558,18 @@ object MstrJoinPipeline {
       }
     }
     // materialize eagerly; callers get the cached result
+    prof("assembly planned")
+    if (sys.env.get("GRAFT_JOIN_PROF").contains("1")) {
+      // prof-only sub-splits of the assembly job (extra jobs, so gated)
+      factFrags.persist()
+      prof(s"  factFrags: ${factFrags.count()} rows")
+      allFrags.persist()
+      prof(s"  allFrags: ${allFrags.count()} rows")
+      prof(s"  assembled rdd: ${assembled.count()} rows")
+    }
     val result = spark.createDataset(assembled).persist()
     result.count()
+    prof("assembly done")
     // the intermediate caches served their purpose during assembly —
     // release them so repeated run() calls don't pin blocks for the
     // session lifetime (the result itself stays cached)

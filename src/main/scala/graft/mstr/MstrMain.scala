@@ -142,13 +142,10 @@ object MstrMain {
     import spark.implicits._
     val pagesDs = spark.read.parquet(path).as[PageRow]
     if (corpusBytes(spark, path) <= cfg.broadcastMaxBytes) {
-      val pages = pagesDs.collect().toSeq
-      val loc = MstrLocale.forLang(cfg.lang)
-      val indexes = MstrPipeline.buildIndexes(MstrPipeline.corpusFromPages(pages), loc)
-      val selected = selectReports(indexes.documento, cfg)
-      val (reports, _, _) =
-        MstrPipeline.run(spark, pages, cfg.lang, selection = Some(selected))
-      ("broadcast", reports)
+      // same selection-then-extract path the fixture CLI uses — one
+      // code path for the broadcast plan regardless of corpus source
+      val (_, reports) = execute(spark, pagesDs.collect().toSeq, cfg)
+      ("broadcast", spark.createDataset(reports))
     } else {
       ("join", MstrJoinPipeline.run(spark, pagesDs, cfg.lang,
         select = Some(idx => selectReports(idx, cfg))))

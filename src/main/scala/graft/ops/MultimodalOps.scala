@@ -240,8 +240,13 @@ object MultimodalOps {
             new java.io.ByteArrayInputStream(m.payload))
           try {
             val fmt = ais.getFormat
-            require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
-              fmt.getChannels == 1, s"unsupported PCM layout: $fmt")
+            // a parseable WAV in a layout this operator doesn't handle
+            // (stereo / 8-bit / big-endian) DROPS the row like any other
+            // undecodable payload — one off-format row must not abort
+            // the job
+            if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+              fmt.getChannels != 1) None
+            else {
             val data = ais.readAllBytes()
             val n = data.length / 2
             var sumAbs = 0L
@@ -256,6 +261,7 @@ object MultimodalOps {
             }
             Some(AudioFeatures(m.doc_id, fmt.getSampleRate.toInt, n.toLong,
               sumAbs, peak))
+            }
           } finally ais.close()
         } catch {
           case _: javax.sound.sampled.UnsupportedAudioFileException => None

@@ -38,21 +38,34 @@ final class TableIO(root: String) {
     finally s.close()
   }
 
+  /** Snapshot ids already claimed ON DISK — including directories whose
+    * commit never completed (crashed or failed write). Counting them
+    * keeps a same-writer retry moving forward past its own orphaned
+    * reservation instead of colliding with it forever.
+    */
+  private def reservedDirIds(): Seq[Long] = {
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return Nil
+    val s = Files.list(rootPath)
+    try s.toArray.toSeq.map(_.toString).flatMap(p =>
+      """snap-(\d+)$""".r.findFirstMatchIn(p).map(_.group(1).toLong))
+    finally s.close()
+  }
+
   /** Ids are unique across the WHOLE history (incl. branches abandoned
-    * by a rollback), never reused — a new commit after a rollback can't
-    * collide with a snapshot dir from the abandoned branch.
+    * by a rollback and orphaned reservations from failed writes), never
+    * reused — a new commit after a rollback or a crash can't collide
+    * with an existing snapshot dir.
     */
   private def nextId(): Long =
-    (snapshots().map(_.id) ++ historyIds()).maxOption.getOrElse(0L) + 1
+    (snapshots().map(_.id) ++ historyIds() ++ reservedDirIds())
+      .maxOption.getOrElse(0L) + 1
 
   /** Reserve snapshot `id` by creating its data directory — an atomic
-    * filesystem operation, so of two racing writers that both computed
-    * the same next id exactly one wins; the loser fails LOUDLY here
-    * instead of having its commit silently vanish when the other
-    * writer's manifest move lands last. (Single-writer per table root —
-    * one Spark driver owning the commit, as with Iceberg — remains the
-    * documented model; this guard makes a violation an error, not data
-    * loss.)
+    * filesystem operation, so of two writers racing for the same id
+    * exactly one proceeds. Orphaned reservations from crashed writes
+    * don't wedge the table: [[nextId]] counts every on-disk dir, so a
+    * retry simply claims the next free id.
     */
   private def reserveDir(id: Long): String = {
     val dir = s"snap-$id"
@@ -67,10 +80,26 @@ final class TableIO(root: String) {
     }
   }
 
-  /** Atomically install `lines` as the live manifest and file the
-    * history copy for commit `id`.
+  /** The raw live-manifest bytes a commit was computed against (None =
+    * no manifest yet). Checked again immediately before the atomic
+    * install: if another writer's commit landed in between, THIS commit
+    * throws instead of silently erasing that writer's manifest line.
+    * (Best-effort on a filesystem without compare-and-swap — the
+    * Iceberg swap this facade mimics is atomic at the catalog; the
+    * documented model stays single-writer per root, with violations
+    * loud, not lossy. The written data and history record survive
+    * either way for manual recovery.)
     */
-  private def commitManifest(lines: String, id: Long): Unit = {
+  private def manifestBase(): Option[String] =
+    if (Files.exists(manifestPath))
+      Some(new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8))
+    else None
+
+  /** Atomically install `lines` as the live manifest and file the
+    * history copy for commit `id`, verifying the manifest is still the
+    * one the commit was computed from.
+    */
+  private def commitManifest(lines: String, id: Long, base: Option[String]): Unit = {
     Files.createDirectories(historyDir)
     // CREATE_NEW: a same-id history file means another writer got here
     // first — fail rather than overwrite its record
@@ -78,6 +107,12 @@ final class TableIO(root: String) {
       lines.getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
+    if (manifestBase() != base)
+      throw new IllegalStateException(
+        s"manifest under $root changed while committing snapshot $id — " +
+          "concurrent writer detected; this commit fails loudly instead of " +
+          "erasing the other writer's commit (its data dir and history " +
+          s"record manifest-$id.json remain on disk)")
     val tmp = Paths.get(root, ".manifest.tmp")
     Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
@@ -109,6 +144,7 @@ final class TableIO(root: String) {
     * move) so a crash mid-commit leaves the previous snapshot intact.
     */
   def appendSnapshot(df: DataFrame): Snapshot = {
+    val base = manifestBase()
     val prev = snapshots()
     val id = nextId()
     val dir = reserveDir(id)
@@ -117,7 +153,7 @@ final class TableIO(root: String) {
     val line = s"""{"id":$id,"dir":"$dir","rows":$rows}"""
     val all = (prev.map(s => s"""{"id":${s.id},"dir":"${s.dir}","rows":${s.rows}}""") :+ line)
       .mkString("", "\n", "\n")
-    commitManifest(all, id)
+    commitManifest(all, id, base)
     Snapshot(id, dir, rows)
   }
 
@@ -155,12 +191,13 @@ final class TableIO(root: String) {
     * on disk for rollback; the manifest only references the new one.
     */
   def replaceWith(df: DataFrame): Snapshot = {
+    val base = manifestBase()
     val id = nextId()
     val dir = reserveDir(id)
     // materialize BEFORE truncating the manifest: df may read prior snapshots
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dir")
     val rows = df.sparkSession.read.parquet(s"$root/$dir").count()
-    commitManifest(s"""{"id":$id,"dir":"$dir","rows":$rows}""" + "\n", id)
+    commitManifest(s"""{"id":$id,"dir":"$dir","rows":$rows}""" + "\n", id, base)
     Snapshot(id, dir, rows)
   }
 

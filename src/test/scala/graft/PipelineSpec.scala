@@ -199,21 +199,48 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](io.rollbackTo(9999L))
   }
 
+  test("orphaned reservation from a crashed write doesn't wedge the table") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-orphan").toString
+    val io = new TableIO(root)
+    io.appendSnapshot(Seq(("u1", 1)).toDF("key", "v")) // snap-1
+    // a previous write crashed after reserving snap-2 (dir exists, no
+    // manifest/history record): the retry must claim the next free id
+    // and converge, not collide with its own orphan forever
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(root, "snap-2"))
+    val s = io.appendSnapshot(Seq(("u2", 2)).toDF("key", "v"))
+    assert(s.id == 3, "retry must skip past the orphaned reservation")
+    assert(io.readTable(spark).get.as[(String, Int)].collect().toMap ==
+      Map("u1" -> 1, "u2" -> 2))
+  }
+
   test("interleaved writers: the losing commit throws instead of silently vanishing") {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
     val root = java.nio.file.Files.createTempDirectory("graft-race").toString
     val io = new TableIO(root)
     io.appendSnapshot(Seq(("u1", 1)).toDF("key", "v"))
-    // a second writer that read the same manifest state has already
-    // reserved the next snapshot id by creating its directory — the
-    // atomic createDirectory is the commit reservation
-    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(root, "snap-2"))
-    val e = intercept[IllegalStateException] {
-      io.appendSnapshot(Seq(("u2", 2)).toDF("key", "v"))
-    }
+    // writer A starts a slow commit (its snapshot write blocks on a
+    // latch); writer B lands a full commit in the middle; A must then
+    // detect the manifest moved under it and fail loudly
+    val slow = spark.createDataset(Seq(("u2", 2)))
+      .repartition(1)
+      .mapPartitions { it => WriterRaceGate.gate.await(); it }
+      .toDF("key", "v")
+    val fA = Future(io.appendSnapshot(slow))
+    // wait until A has reserved its dir, then let B commit
+    val t0 = System.nanoTime()
+    while (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "snap-2")) &&
+      System.nanoTime() - t0 < 30e9) Thread.sleep(20)
+    new TableIO(root).appendSnapshot(Seq(("u3", 3)).toDF("key", "v"))
+    WriterRaceGate.gate.countDown()
+    val e = intercept[IllegalStateException](Await.result(fA, 120.seconds))
     assert(e.getMessage.contains("concurrent writer"))
-    // the surviving state is intact: first commit still the live view
-    assert(io.readTable(spark).get.as[(String, Int)].collect().toMap == Map("u1" -> 1))
+    // B's commit survives; A's never entered the live view
+    assert(io.readTable(spark).get.as[(String, Int)].collect().toMap ==
+      Map("u1" -> 1, "u3" -> 3))
   }
 
   test("entry flagship returns rows on sf0.001") {
@@ -230,4 +257,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == exp.size)
     exp.foreach { case (id, t) => assert(got(id) == t, s"doc $id") }
   }
+}
+
+/** Executor-visible latch for the interleaved-writer race test (a plain
+  * CountDownLatch can't ride a serialized closure; an object reference
+  * can, and local mode shares the JVM).
+  */
+object WriterRaceGate {
+  val gate = new java.util.concurrent.CountDownLatch(1)
 }
