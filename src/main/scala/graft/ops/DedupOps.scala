@@ -167,52 +167,70 @@ object DedupOps {
 
   private def connectedComponentsImpl(rawPairs: DataFrame,
                                       labelRounds: Int): DataFrame = {
+    val spark = rawPairs.sparkSession
+    import spark.implicits._
     // self-loops carry no connectivity (and star contraction drops
     // them) — filter up front so both paths emit the same node set
     val pairs = rawPairs.filter(col("a") =!= col("b"))
-    // LAZY local checkpoints throughout: materialization (and lineage
-    // truncation) rides the round's O(1)-row probe aggregation, so each
-    // round costs exactly ONE job instead of checkpoint + probe
-    val edges = pairs.select(col("a").as("s"), col("b").as("t"))
-      .union(pairs.select(col("b").as("s"), col("a").as("t")))
-      .localCheckpoint(false)
+
+    // The bounded min-label loop runs on the RDD layer with ONE
+    // explicit hash partitioning reused every round: edges are
+    // partitioned by source ONCE, labels live in the same partitioner,
+    // so each round's only wide dependency is the re-key of the
+    // neighbor-min messages — the edges⋈labels join and the
+    // labels⋈neighborMin update are both narrow. (The DataFrame form
+    // cannot pin a partitioning across iterations; Catalyst re-plans
+    // each round's exchanges, and its per-round analysis dominated this
+    // entity-scale loop.) Ids are numeric throughout the engine; the
+    // loop operates on them as Long.
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val part = new org.apache.spark.HashPartitioner(width)
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val prs = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].rdd
+    val edges = prs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).persist(sl)
     // round 0 folded into initialization: every node starts at the min
-    // of itself and its direct neighbors (one aggregation, no join)
-    var labels = edges.groupBy(col("s").as("doc_id"))
-      .agg(min(col("t")).as("nmin"))
-      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("component"))
-      .localCheckpoint(false)
+    // of itself and its direct neighbors (narrow — edges already
+    // partitioned by source)
+    var labels = edges.foldByKey(Long.MaxValue, part)(math.min)
+      .mapPartitions(_.map { case (d, nmin) => (d, math.min(d, nmin)) },
+        preservesPartitioning = true)
+      .persist(sl)
     // labels decrease monotonically, so sum(component) strictly drops
-    // until the fixpoint — an O(1)-row convergence probe instead of a
-    // full join-and-compare pass. count rides the same aggregation
-    // (empty candidate set must converge immediately, not NPE on the
-    // NULL sum).
-    def probe(): (Long, Long) = {
-      val r = labels.agg(sum(col("component")), count(lit(1))).head
-      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
-    }
+    // until the fixpoint — an O(1)-row probe whose job is also the
+    // materializing action for the round's cache; the node count rides
+    // the same aggregation (empty input must converge immediately)
+    def probe(): (Long, Long) = labels.aggregate((0L, 0L))(
+      (acc, kv) => (acc._1 + kv._2, acc._2 + 1),
+      (x, y) => (x._1 + y._1, x._2 + y._2))
     var (prevSum, n0) = probe()
     var converged = n0 == 0L
     var round = 0
     while (!converged && round < labelRounds) {
       round += 1
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("t"), col("component").as("tcomp")), Seq("t"))
-        .groupBy(col("s").as("doc_id"))
-        .agg(min(col("tcomp")).as("ncomp"))
-      labels = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
-        .localCheckpoint(false)
+      // messages: each edge (s,t) sends comp(s) to t; the reduceByKey
+      // re-key is the round's single shuffle (compact (id, label) pairs)
+      val neighborMin = edges.join(labels, part)
+        .map { case (_, (t, comp)) => (t, comp) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val prev = labels
+      labels = prev.leftOuterJoin(neighborMin, part) // narrow: same partitioner
+        .mapPartitions(_.map { case (d, (comp, nOpt)) =>
+          (d, math.min(comp, nOpt.getOrElse(comp)))
+        }, preservesPartitioning = true)
+        .persist(sl)
       val (s, _) = probe()
+      prev.unpersist(blocking = false)
       converged = s == prevSum
       prevSum = s
     }
-    if (converged) labels
+    val labelsDf = spark.createDataset(labels).toDF("doc_id", "component")
+    edges.unpersist(blocking = false)
+    if (converged) labelsDf
     else connectedComponentsStar(
-      pairs.select(col("a"), col("b"))
-        .union(labels.select(col("doc_id").as("a"), col("component").as("b"))))
+      pairs.select(col("a").cast("long"), col("b").cast("long"))
+        .union(labelsDf.select(col("doc_id").as("a"), col("component").as("b"))))
   }
 
   /** Connected components via alternating large-star / small-star
