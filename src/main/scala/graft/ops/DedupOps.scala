@@ -126,11 +126,13 @@ object DedupOps {
     * Min-label propagation: labels start as self, each round takes the
     * min of own and neighbors' labels, until no label changes —
     * converges in O(cluster diameter) rounds (dup clusters are
-    * near-cliques, so 2-3 rounds in practice). Lineage is cut per round
-    * with localCheckpoint so the plan stays flat. At 10^12 docs the same
-    * loop shape holds (each round = one shuffle-join on doc_id); graphs
-    * that don't converge within the round budget switch to alternating
-    * large-star / small-star contraction — see [[connectedComponents]].
+    * near-cliques, so 2-3 rounds in practice). The loop runs under one
+    * pinned hash partitioning (edges shuffled once; per round only the
+    * compact neighbor-min messages move), each round materialized by
+    * its own convergence probe. At 10^12 docs the same loop shape holds;
+    * graphs that don't converge within the round budget switch to
+    * alternating large-star / small-star contraction — see
+    * [[connectedComponents]].
     */
   def lshConnectedComponents(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(minhashLshPairs(spark, dir))
@@ -173,16 +175,26 @@ object DedupOps {
     // them) — filter up front so both paths emit the same node set
     val pairs = rawPairs.filter(col("a") =!= col("b"))
 
+    // Non-numeric ids can't ride the Long-typed label loop below; star
+    // contraction is type-generic over any ordered id and stays correct
+    // (just O(log^2 n) rounds instead of O(diameter)) — route them there
+    // instead of silently null-casting.
+    val numericIds = Seq("a", "b").forall(c => rawPairs.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
+    if (!numericIds) return connectedComponentsStar(pairs)
+
     // The bounded min-label loop runs on the RDD layer with ONE
     // explicit hash partitioning reused every round: edges are
-    // partitioned by source ONCE, labels live in the same partitioner,
-    // so each round's only wide dependency is the re-key of the
-    // neighbor-min messages — the edges⋈labels join and the
-    // labels⋈neighborMin update are both narrow. (The DataFrame form
-    // cannot pin a partitioning across iterations; Catalyst re-plans
-    // each round's exchanges, and its per-round analysis dominated this
-    // entity-scale loop.) Ids are numeric throughout the engine; the
-    // loop operates on them as Long.
+    // partitioned by source ONCE; labels and neighbor-min tables live
+    // in the same partitioner, so per round the only wide dependency is
+    // the re-key of the compact (id, label) messages. Both per-round
+    // "joins" are zipPartitions against a per-partition hash map of the
+    // label table — the adjacency STREAMS through (no per-key
+    // CompactBuffer, so a pathological hot node can't buffer its whole
+    // edge list in memory), and per-partition label maps are bounded by
+    // nodes/width. (The DataFrame form can't pin a partitioning across
+    // iterations; Catalyst re-plans every round's exchanges, and its
+    // per-round analysis dominated this entity-scale loop.)
     val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val part = new org.apache.spark.HashPartitioner(width)
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -190,6 +202,13 @@ object DedupOps {
       .as[(Long, Long)].rdd
     val edges = prs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(part).persist(sl)
+
+    def asMap(it: Iterator[(Long, Long)]): java.util.HashMap[Long, Long] = {
+      val m = new java.util.HashMap[Long, Long]()
+      it.foreach(kv => m.put(kv._1, kv._2))
+      m
+    }
+
     // round 0 folded into initialization: every node starts at the min
     // of itself and its direct neighbors (narrow — edges already
     // partitioned by source)
@@ -209,17 +228,23 @@ object DedupOps {
     var round = 0
     while (!converged && round < labelRounds) {
       round += 1
-      // messages: each edge (s,t) sends comp(s) to t; the reduceByKey
-      // re-key is the round's single shuffle (compact (id, label) pairs)
-      val neighborMin = edges.join(labels, part)
-        .map { case (_, (t, comp)) => (t, comp) }
-        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      // messages: each edge (s,t) sends comp(s) to t — streamed against
+      // the partition's label map; reduceByKey combines map-side, so a
+      // hot destination never buffers either. This re-key is the
+      // round's single shuffle.
+      val neighborMin = edges.zipPartitions(labels) { (eIt, lIt) =>
+        val lm = asMap(lIt)
+        eIt.map { case (s, t) => (t, lm.get(s).longValue()) }
+      }.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       val prev = labels
-      labels = prev.leftOuterJoin(neighborMin, part) // narrow: same partitioner
-        .mapPartitions(_.map { case (d, (comp, nOpt)) =>
-          (d, math.min(comp, nOpt.getOrElse(comp)))
-        }, preservesPartitioning = true)
-        .persist(sl)
+      labels = prev.zipPartitions(neighborMin, preservesPartitioning = true) {
+        (lIt, nIt) =>
+          val nm = asMap(nIt)
+          lIt.map { case (d, comp) =>
+            val n = nm.get(d)
+            (d, if (n == null) comp else math.min(comp, n.longValue()))
+          }
+      }.persist(sl)
       val (s, _) = probe()
       prev.unpersist(blocking = false)
       converged = s == prevSum
@@ -227,10 +252,16 @@ object DedupOps {
     }
     val labelsDf = spark.createDataset(labels).toDF("doc_id", "component")
     edges.unpersist(blocking = false)
-    if (converged) labelsDf
-    else connectedComponentsStar(
-      pairs.select(col("a").cast("long"), col("b").cast("long"))
-        .union(labelsDf.select(col("doc_id").as("a"), col("component").as("b"))))
+    if (converged) labelsDf // cache lifetime = result lifetime (as before)
+    else {
+      // star contraction checkpoints its own input during its first
+      // round, after which the label cache is dead weight — release it
+      val out = connectedComponentsStar(
+        pairs.select(col("a").cast("long"), col("b").cast("long"))
+          .union(labelsDf.select(col("doc_id").as("a"), col("component").as("b"))))
+      labels.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Connected components via alternating large-star / small-star
@@ -258,9 +289,12 @@ object DedupOps {
       .localCheckpoint(false)
 
     // lazy checkpoints again: the probe is the materializing action, so
-    // each contraction round costs one job
+    // each contraction round costs one job. hash() keeps the fixpoint
+    // probe type-generic (string ids ride this path); at the star
+    // fixpoint the edge set — hence the hash sum — is stable, same
+    // detection class as the numeric sum it replaces.
     def edgeSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("u") + col("v"))).head
+      val r = df.agg(sum(hash(col("u"), col("v")).cast("long"))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
 

@@ -57,6 +57,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     check(Seq((5L, 9L), (100L, 3L), (7L, 7L), (50L, 51L), (51L, 52L), (52L, 50L)))
   }
 
+  test("non-numeric ids route through generic star contraction, same components") {
+    import spark.implicits._
+    // the Long label loop can't carry string ids; the dispatch must
+    // fall back to the type-generic star path, not null-cast
+    val pairs = Seq(("x5", "x9"), ("b2", "a1"), ("x9", "x7"))
+      .toDF("a", "b")
+    val got = graft.ops.DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("x5" -> "x5", "x9" -> "x5", "x7" -> "x5",
+      "b2" -> "a1", "a1" -> "a1"))
+  }
+
   test("random graphs agree with union-find") {
     val rnd = new scala.util.Random(99)
     (1 to 5).foreach { _ =>

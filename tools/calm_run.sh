@@ -1,7 +1,17 @@
 #!/bin/bash
-# Wait for a calm CPU window (steal < $1 ticks per 10s, default 80),
-# then exec the rest of the args. Prints the observed steal rate.
-THRESH=${1:-80}; shift
+# Wait for a calm CPU window (steal below a tick threshold per 10s),
+# then exec the given command. The first arg is the threshold ONLY if
+# it is numeric; otherwise the default (80) applies and all args are
+# the command. Prints the observed steal rate to stderr.
+THRESH=80
+case "$1" in
+  ''|*[!0-9]*) : ;;            # non-numeric: part of the command
+  *) THRESH=$1; shift ;;
+esac
+if [ $# -eq 0 ]; then
+  echo "calm_run: no command given" >&2
+  exit 2
+fi
 for i in $(seq 1 90); do
   S1=$(awk '/^cpu /{print $9}' /proc/stat)
   sleep 10
