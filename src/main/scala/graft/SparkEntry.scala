@@ -43,6 +43,7 @@ object SparkEntry {
     // ---- reference relational operators (SURVEY.md §2) ----
     "q1_agg" -> ((s, d) => RelationalOps.q1Agg(s, d)),
     "q_join_agg" -> ((s, d) => RelationalOps.joinAgg(s, d)),
+    "q_bucketed_join" -> ((s, d) => RelationalOps.bucketedJoinAgg(s, d)),
     "q_summary_counts" -> ((s, d) => RelationalOps.summaryCounts(s, d)),
     "q_dup_id_check" -> ((s, d) => RelationalOps.duplicateIdCheck(s, d)),
     "q_filter_ci" -> ((s, d) => RelationalOps.filterCi(s, d)),
@@ -202,6 +203,13 @@ object SparkEntry {
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+
+    "q_bucketed_join" ->
+      """SELECT o_orderdate,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
 
     "q_summary_counts" ->

@@ -214,4 +214,58 @@ object RelationalOps {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** Bucketed co-located fact-fact join (the brief's "co-locate joins
+    * via bucketing"): lineitem and orders are written ONCE as bucketed,
+    * sorted tables on the join key; the join then reads the buckets
+    * co-partitioned, so the query-time plan is a SortMergeJoin with NO
+    * exchange on either side (PlanSpec asserts it; only the cheap
+    * per-bucket sort remains — since SPARK-32859 the v1 bucketed scan
+    * doesn't advertise its written order). That is the 100 TB shape for
+    * repeated
+    * fact-fact joins: the shuffle is paid once at ingest, never per
+    * query — neither side is broadcastable at scale.
+    *
+    * The bucketed copies are session-cached catalog tables keyed by the
+    * source dir (written under java.io.tmpdir); reruns in the same
+    * session reuse them, so bench reps measure the query, not ingest.
+    */
+  def bucketedJoinAgg(spark: SparkSession, dir: String,
+                      buckets: Int = 8): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val liName = s"li_bucketed_$tag"
+    val oName = s"orders_bucketed_$tag"
+    val warehouse = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-bucketed-$tag").getAbsolutePath
+    if (!spark.catalog.tableExists(liName)) {
+      // repartition on the bucket key first => exactly ONE file per
+      // bucket, so the written sort order survives into the reader's
+      // outputOrdering and the join needs no per-bucket re-Sort either
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(buckets, col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$warehouse/$liName")
+        .saveAsTable(liName)
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .repartition(buckets, col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$warehouse/$oName")
+        .saveAsTable(oName)
+    }
+    val li = spark.table(liName)
+    val o = spark.table(oName)
+    // decimal accumulation: bucketed layout changes the row add-order,
+    // and double sums at the cent boundary aren't order-independent —
+    // decimal addition is exact, so the oracle matches bit-for-bit
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderdate"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6))), 2)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

