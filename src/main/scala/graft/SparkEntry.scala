@@ -44,6 +44,7 @@ object SparkEntry {
     "q1_agg" -> ((s, d) => RelationalOps.q1Agg(s, d)),
     "q_join_agg" -> ((s, d) => RelationalOps.joinAgg(s, d)),
     "q_bucketed_join" -> ((s, d) => RelationalOps.bucketedJoinAgg(s, d)),
+    "q_partition_prune" -> ((s, d) => RelationalOps.partitionPrunedAgg(s, d)),
     "q_summary_counts" -> ((s, d) => RelationalOps.summaryCounts(s, d)),
     "q_dup_id_check" -> ((s, d) => RelationalOps.duplicateIdCheck(s, d)),
     "q_filter_ci" -> ((s, d) => RelationalOps.filterCi(s, d)),
@@ -211,6 +212,11 @@ object SparkEntry {
          count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
+
+    "q_partition_prune" ->
+      """SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+         CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type = 'purchase' GROUP BY 1""",
 
     "q_summary_counts" ->
       """SELECT

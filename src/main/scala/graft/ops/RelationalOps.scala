@@ -215,6 +215,33 @@ object RelationalOps {
         count(lit(1)).as("n_items"))
   }
 
+  /** Partition-pruned scan (the physical-layer counterpart of
+    * [[bucketedJoinAgg]]): events are written ONCE partitioned by
+    * event_type; a filter on the partition column then prunes whole
+    * directories at PLANNING time — the scan never opens a non-matching
+    * file (PlanSpec asserts the PartitionFilters and that the pushed
+    * data-filter set is empty — pruning happened above the reader). At
+    * 100 TB this is the difference between reading one partition and
+    * reading the table.
+    */
+  def partitionPrunedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-events-bytype-$tag").getAbsolutePath
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      t(spark, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    }
+    spark.read.parquet(path)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        // decimal accumulation: the partitioned rewrite changes row
+        // add-order and double sums aren't order-independent
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6))), 2)
+          .cast("double").as("sum_value"))
+  }
+
   /** Bucketed co-located fact-fact join (the brief's "co-locate joins
     * via bucketing"): lineitem and orders are written ONCE as bucketed,
     * sorted tables on the join key; the join then reads the buckets

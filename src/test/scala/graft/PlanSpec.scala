@@ -50,6 +50,17 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_partition_prune: partition-column filter prunes directories at planning time") {
+    val p = plan("q_partition_prune")
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
+      s"filter must land in PartitionFilters:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"),
+      "partition filter must not degrade to a data filter")
+    // the pruned scan reads no event_type column data at all
+    assert("ReadSchema: [^\\n]*event_type".r.findFirstIn(p).isEmpty,
+      "partition column must come from directory metadata, not file data")
+  }
+
   test("q_lookup_cascade: left joins stay broadcast") {
     val p = plan("q_lookup_cascade")
     assert(p.contains("BroadcastHashJoin"))
