@@ -94,6 +94,46 @@ object StreamingExtract {
     q.awaitTermination()
   }
 
+  /** Row-local content fingerprint — the same normalization the batch
+    * dedup family uses (`TextAnalysisOps.fingerprint`: lowercase, strip
+    * non-alphanumerics, collapse whitespace, md5), so batch and stream
+    * agree on what "same content" means.
+    */
+  def contentFingerprint(text: String): String = {
+    val norm = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(norm)
+  }
+
+  /** Cross-batch CONTENT dedup: extraction first, then state keyed by
+    * the normalized-text fingerprint — the first document carrying a
+    * given content fingerprint is emitted, every later re-crawl of the
+    * same content (different url, same text) is suppressed, across
+    * micro-batches and restarts (state lives in the checkpoint). The
+    * within-batch winner is the smallest url, so the output is
+    * deterministic under any arrival order. State per key is one
+    * boolean — at crawl scale this is the RocksDB-backed seen-set
+    * shape, partitioned by fingerprint.
+    */
+  def contentDedupStream(pages: Dataset[PageRow],
+                         charset: String = "utf-8"): Dataset[graft.pipeline.ExtractedDoc] = {
+    import pages.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    pages
+      .mapPartitions(it => it.map(p => ExtractPipeline.extractOne(p, charset)))
+      .groupByKey(d => contentFingerprint(d.text))
+      .flatMapGroupsWithState[Boolean, graft.pipeline.ExtractedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[graft.pipeline.ExtractedDoc],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.url))
+          }
+      }
+  }
+
   /** Windowed per-language extraction-rate metrics over the stream —
     * watermark + tumbling window aggregation (the streaming metrics
     * analog of the per-partition lineage rows).

@@ -53,6 +53,47 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     assert(out.select("url").distinct().count() == 12)
   }
 
+  test("streaming content dedup: same-text recrawls under new urls suppressed across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft-cdedup-stream").toString
+    val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    val fixtures = WebCorpus.generate(6)
+    def mirrored(i: Int) = // same html (same extracted text), different url
+      fixtures(i).page.copy(url = s"https://mirror.example/copy-$i")
+    def run(): Unit = {
+      val pages = spark.readStream.schema(StreamingExtract.pageSchema)
+        .parquet(src).as[graft.pipeline.PageRow]
+      val q = StreamingExtract.contentDedupStream(pages).writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: 4 pages, one of them also under a mirror url (in-batch
+    // content dup — smallest url must win deterministically)
+    spark.createDataset(fixtures.take(4).map(_.page) :+ mirrored(0))
+      .write.mode("append").parquet(src)
+    run()
+    val out1 = spark.read.parquet(sink)
+    assert(out1.count() == 4)
+    // "https://mirror..." sorts below the fixture urls? assert the
+    // winner is the MIN url among the two carriers of that content
+    val fp0 = StreamingExtract.contentFingerprint(fixtures(0).expectedText)
+    val carriers = Seq(fixtures(0).page.url, mirrored(0).url)
+    val kept = out1.as[graft.pipeline.ExtractedDoc].collect()
+      .filter(d => StreamingExtract.contentFingerprint(d.text) == fp0).map(_.url)
+    assert(kept.toSeq == Seq(carriers.min))
+    // batch 2: 2 new pages + mirrors of two batch-1 contents
+    spark.createDataset(
+      fixtures.drop(4).map(_.page) ++ Seq(mirrored(1), mirrored(2)))
+      .write.mode("append").parquet(src)
+    run()
+    val out2 = spark.read.parquet(sink)
+    assert(out2.count() == 6, "cross-batch content recrawls must be suppressed")
+    assert(out2.select("url").distinct().count() == 6)
+  }
+
   test("extract_main_text expression: Column and SQL surfaces agree with pipeline") {
     import spark.implicits._
     val fixtures = WebCorpus.generate(10)
