@@ -224,13 +224,38 @@ object RelationalOps {
     * 100 TB this is the difference between reading one partition and
     * reading the table.
     */
+  /** Cache tag for a derived physical layout: source path PLUS the
+    * source's file-status identity (total bytes + newest mtime), so a
+    * regenerated corpus at the same path invalidates the derived copy
+    * across JVMs instead of silently serving stale data.
+    */
+  private def layoutTag(spark: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val it = fs.listFiles(p, true)
+    var mtime = 0L
+    while (it.hasNext) mtime = math.max(mtime, it.next().getModificationTime)
+    // underscores only: the tag doubles as part of SQL table identifiers
+    f"${dir.hashCode}%08x_${bytes}%x_$mtime%x"
+  }
+
   def partitionPrunedAgg(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val tag = layoutTag(spark, dir, "events")
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft-events-bytype-$tag").getAbsolutePath
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      // write to a private dir, publish by rename: two first-run JVMs
+      // can't interleave files into the same layout; the loser discards
+      val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
       t(spark, dir, "events")
-        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+        .select(col("event_type"), col("ts"), col("value")) // only what the query reads
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(path)))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // another JVM won
     }
     spark.read.parquet(path)
       .filter(col("event_type") === "purchase")
@@ -259,15 +284,19 @@ object RelationalOps {
     */
   def bucketedJoinAgg(spark: SparkSession, dir: String,
                       buckets: Int = 8): DataFrame = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // tag carries source identity + bucket count: a regenerated corpus
+    // or a different bucket spec gets fresh tables, never a stale reuse
+    val tag = s"${layoutTag(spark, dir, "lineitem")}_$buckets"
     val liName = s"li_bucketed_$tag"
     val oName = s"orders_bucketed_$tag"
     val warehouse = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft-bucketed-$tag").getAbsolutePath
-    if (!spark.catalog.tableExists(liName)) {
+    // guard on BOTH tables: a partial failure (first write committed,
+    // second threw) must rewrite, not wedge the session
+    if (!spark.catalog.tableExists(liName) || !spark.catalog.tableExists(oName)) {
       // repartition on the bucket key first => exactly ONE file per
-      // bucket, so the written sort order survives into the reader's
-      // outputOrdering and the join needs no per-bucket re-Sort either
+      // bucket (bucket id and repartition share the same hash), keeping
+      // the written layout aligned with the bucket spec
       t(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         .repartition(buckets, col("l_orderkey"))

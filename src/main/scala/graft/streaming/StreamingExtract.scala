@@ -98,11 +98,26 @@ object StreamingExtract {
     * dedup family uses (`TextAnalysisOps.fingerprint`: lowercase, strip
     * non-alphanumerics, collapse whitespace, md5), so batch and stream
     * agree on what "same content" means.
+    *
+    * Two deliberate details:
+    *  - lowercase replicates Spark's `lower()` exactly: ASCII-only
+    *    strings take the locale-independent ASCII path, anything else
+    *    falls to `String.toLowerCase()` under the DEFAULT locale (what
+    *    UTF8String's slow path does) — a Locale.ROOT scalar would
+    *    diverge from the batch column on e.g. tr_TR JVMs.
+    *  - text whose ASCII normalization is EMPTY (CJK/Cyrillic/Arabic
+    *    pages, empty extractions) must NOT collapse onto one
+    *    fingerprint — that would silently drop every such document
+    *    after the first. Those fall back to exact-content identity
+    *    (md5 of the raw text, distinct key space).
     */
   def contentFingerprint(text: String): String = {
-    val norm = text.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
-    org.apache.commons.codec.digest.DigestUtils.md5Hex(norm)
+    val lower =
+      if (text.forall(_ < 0x80)) text.toLowerCase(java.util.Locale.ROOT)
+      else text.toLowerCase()
+    val norm = lower.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+    if (norm.nonEmpty) "fp:" + org.apache.commons.codec.digest.DigestUtils.md5Hex(norm)
+    else "raw:" + org.apache.commons.codec.digest.DigestUtils.md5Hex(text)
   }
 
   /** Cross-batch CONTENT dedup: extraction first, then state keyed by

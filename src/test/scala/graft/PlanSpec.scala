@@ -24,7 +24,7 @@ class PlanSpec extends AnyFunSuite {
       "lineitem scan must not read unused columns")
   }
 
-  test("q_bucketed_join: co-located bucketed join has no exchange and no sort") {
+  test("q_bucketed_join: co-located bucketed join has no exchange on either side") {
     // force the join to be resolved as a merge join (at real scale
     // neither fact side is broadcastable) and assert the bucketed
     // layout removes BOTH the shuffle and the sort at query time

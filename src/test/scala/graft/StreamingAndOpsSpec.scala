@@ -94,6 +94,20 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     assert(out2.select("url").distinct().count() == 6)
   }
 
+  test("content fingerprint: non-ASCII text falls back to exact identity, never collapses") {
+    import graft.streaming.StreamingExtract.contentFingerprint
+    // two DIFFERENT CJK texts must get different keys (the ASCII
+    // normalizer degenerates both to "") — raw-content fallback
+    val a = contentFingerprint("你好世界")
+    val b = contentFingerprint("こんにちは")
+    assert(a != b && a.startsWith("raw:") && b.startsWith("raw:"))
+    // identical CJK text still dedups
+    assert(contentFingerprint("你好世界") == a)
+    // Latin text normalizes: case/punct-insensitive
+    assert(contentFingerprint("Hello,  World!") == contentFingerprint("hello world"))
+    assert(contentFingerprint("Hello").startsWith("fp:"))
+  }
+
   test("extract_main_text expression: Column and SQL surfaces agree with pipeline") {
     import spark.implicits._
     val fixtures = WebCorpus.generate(10)
