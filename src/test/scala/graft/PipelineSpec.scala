@@ -233,10 +233,10 @@ class PipelineSpec extends AnyFunSuite {
     // wait until A has reserved its dir, then let B commit
     val t0 = System.nanoTime()
     while (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "snap-2")) &&
-      System.nanoTime() - t0 < 30e9) Thread.sleep(20)
+      System.nanoTime() - t0 < 60e9) Thread.sleep(20)
     new TableIO(root).appendSnapshot(Seq(("u3", 3)).toDF("key", "v"))
     WriterRaceGate.gate.countDown()
-    val e = intercept[IllegalStateException](Await.result(fA, 120.seconds))
+    val e = intercept[IllegalStateException](Await.result(fA, 300.seconds))
     assert(e.getMessage.contains("concurrent writer"))
     // B's commit survives; A's never entered the live view
     assert(io.readTable(spark).get.as[(String, Int)].collect().toMap ==
