@@ -76,6 +76,7 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => CorpusOps.decontaminate(s, d)),
     "q_repetition" -> ((s, d) => CorpusOps.repetitionStats(s, d)),
     "q_sample_strat" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
+    "q_filter_pipeline" -> ((s, d) => CorpusOps.filterPipeline(s, d)),
     "q_pack" -> ((s, d) => CorpusOps.packSequences(s, d)),
     // ---- text analysis ----
     "q_langid" -> ((s, d) => TextAnalysisOps.langId(s, d)),
@@ -356,35 +357,9 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
            FROM documents) WHERE rn <= 2""",
 
-    "q_decontaminate" ->
-      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-         g AS (
-           SELECT doc_id, unnest(CASE WHEN len(ws) >= 5
-             THEN list_transform(generate_series(1, len(ws) - 4),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
-             ELSE [text] END) AS gram
-           FROM w),
-         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0)
-         SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
-         FROM g JOIN bench USING (gram)
-         WHERE g.doc_id % 11 <> 0
-         GROUP BY 1""",
+    "q_decontaminate" -> decontaminateOracle,
 
-    "q_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         b AS (
-           SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
-                  unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])) AS bg
-           FROM w WHERE len(ws) >= 2),
-         c AS (SELECT doc_id, n_words, n_distinct, bg, count(*) AS n FROM b GROUP BY 1, 2, 3, 4),
-         agg AS (SELECT doc_id, n_words, n_distinct, max(n) AS top_bigram_n,
-                        CAST(sum(n) AS BIGINT) AS n_bigrams
-                 FROM c GROUP BY 1, 2, 3)
-         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-                round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac,
-                round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac,
-                (round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 4) <= 0.18) AS repetition_ok
-         FROM agg""",
+    "q_repetition" -> repetitionOracle,
 
     "q_sample_strat" ->
       """SELECT doc_id, lang FROM documents
@@ -409,6 +384,26 @@ object SparkEntry {
                 start_tok % 4096 AS pack_offset
          FROM c""",
 
+    "q_filter_pipeline" ->
+      s"""WITH pred AS ($langidOracle),
+         q AS (SELECT doc_id, quality_ok FROM ($qualityOracle)),
+         rep AS (SELECT doc_id, repetition_ok FROM ($repetitionOracle)),
+         cont AS (SELECT DISTINCT doc_id FROM ($decontaminateOracle))
+         SELECT d.doc_id,
+                (p.predicted_lang = 'en') AS lang_ok,
+                q.quality_ok,
+                coalesce(r.repetition_ok, TRUE) AS repetition_ok,
+                (c.doc_id IS NULL) AS decontam_ok,
+                ((p.predicted_lang = 'en') AND q.quality_ok
+                  AND coalesce(r.repetition_ok, TRUE)
+                  AND c.doc_id IS NULL) AS keep
+         FROM documents d
+         JOIN pred p ON d.doc_id = p.doc_id
+         JOIN q ON d.doc_id = q.doc_id
+         LEFT JOIN rep r ON d.doc_id = r.doc_id
+         LEFT JOIN cont c ON d.doc_id = c.doc_id
+         WHERE d.doc_id % 11 <> 0""",
+
     "q_langid" -> langidOracle,
     "q_langid_acc" ->
       s"""WITH pred AS ($langidOracle)
@@ -416,23 +411,7 @@ object SparkEntry {
          FROM pred JOIN documents d USING (doc_id)
          GROUP BY 1, 2""",
 
-    "q_quality" ->
-      """SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS n_chars_m,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_word_len,
-         round(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
-             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3
-             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5
-             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4
-             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', ''))) / 4
-             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' in ', ''))) / 4
-           AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
-         round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
-         (len(string_split(text, ' ')) >= 10
-          AND round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) >= 2.5
-          AND round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) <= 12.0) AS quality_ok
-         FROM documents""",
+    "q_quality" -> qualityOracle,
 
     "q_token_count" ->
       """SELECT doc_id,
@@ -447,6 +426,54 @@ object SparkEntry {
   )
 
   // ---- long composed oracles ----
+
+  private val qualityOracle: String =
+    """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_word_len,
+         round(CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3
+             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5
+             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4
+             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', ''))) / 4
+             + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' in ', ''))) / 4
+           AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+         round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+         (len(string_split(text, ' ')) >= 10
+          AND round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) >= 2.5
+          AND round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) <= 12.0) AS quality_ok
+         FROM documents"""
+
+  private val repetitionOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         b AS (
+           SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
+                  unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])) AS bg
+           FROM w WHERE len(ws) >= 2),
+         c AS (SELECT doc_id, n_words, n_distinct, bg, count(*) AS n FROM b GROUP BY 1, 2, 3, 4),
+         agg AS (SELECT doc_id, n_words, n_distinct, max(n) AS top_bigram_n,
+                        CAST(sum(n) AS BIGINT) AS n_bigrams
+                 FROM c GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac,
+                round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac,
+                (round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 4) <= 0.18) AS repetition_ok
+         FROM agg"""
+
+  private val decontaminateOracle: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         g AS (
+           SELECT doc_id, unnest(CASE WHEN len(ws) >= 5
+             THEN list_transform(generate_series(1, len(ws) - 4),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+             ELSE [text] END) AS gram
+           FROM w),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0)
+         SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+         FROM g JOIN bench USING (gram)
+         WHERE g.doc_id % 11 <> 0
+         GROUP BY 1"""
 
   private val shinglesCte =
     """sh AS (

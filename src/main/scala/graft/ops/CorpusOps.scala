@@ -175,4 +175,38 @@ object CorpusOps {
         (round(col("top_bigram_n").cast("double") / col("n_bigrams"), 4) <= 0.18)
           .as("repetition_ok"))
   }
+
+  /** Composite keep/drop decision — the full FineWeb/Gopher-style
+    * training-data filter assembled from the individual signals: one
+    * row per TRAINING doc (the `doc_id % 11 == 0` slice is the held-out
+    * benchmark split, see [[decontaminate]]) with per-rule booleans and
+    * the final `keep`.
+    *
+    * Shuffle shape: language-ID and quality are pure column
+    * expressions, so they ride the SAME documents scan (no join); only
+    * the two aggregation-based signals join back, both keyed on doc_id
+    * (co-partitioned at scale) — repetition as a left join (a doc under
+    * two words cannot be repetitive), contamination as presence in the
+    * decontaminate output.
+    */
+  def filterPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        (TextAnalysisOps.predictedLangCol(col("text")) === "en").as("lang_ok"),
+        TextAnalysisOps.qualityOkCol(col("text")).as("quality_ok"))
+    val rep = repetitionStats(spark, dir)
+      .select(col("doc_id"), col("repetition_ok"))
+    val cont = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    base
+      .join(rep, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
+        coalesce(col("repetition_ok"), lit(true)).as("repetition_ok"),
+        col("contaminated").isNull.as("decontam_ok"))
+      .withColumn("keep",
+        col("lang_ok") && col("quality_ok") && col("repetition_ok") &&
+          col("decontam_ok"))
+  }
 }

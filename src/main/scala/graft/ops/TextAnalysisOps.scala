@@ -24,16 +24,29 @@ object TextAnalysisOps {
     * high-frequency function words per language over the padded text;
     * argmax wins with a deterministic precedence order.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    val en = Seq(" the ", " and ", " of ", " is ", " a ")
-    val pt = Seq(" de ", " que ", " do ", " da ", " em ")
-    val es = Seq(" el ", " la ", " los ", " en ", " y ")
+  /** The three stopword scores as pure column expressions over `text` —
+    * one definition shared by [[langId]] and the composite filter
+    * pipeline (which folds language-ID into the same scan, no join).
+    */
+  private[ops] def langScores(text: Column): (Column, Column, Column) = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
     def score(ws: Seq[String]): Column =
       ws.map(w => markerCount(padded, w)).reduce(_ + _)
+    (score(Seq(" the ", " and ", " of ", " is ", " a ")),
+      score(Seq(" de ", " que ", " do ", " da ", " em ")),
+      score(Seq(" el ", " la ", " los ", " en ", " y ")))
+  }
+
+  private[ops] def predictedLangCol(text: Column): Column = {
+    val (en, pt, es) = langScores(text)
+    when(en >= pt && en >= es, "en").when(pt >= es, "pt").otherwise("es")
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val (en, pt, es) = langScores(col("text"))
     d.select(col("doc_id"),
-      score(en).as("en_score"), score(pt).as("pt_score"), score(es).as("es_score"))
+      en.as("en_score"), pt.as("pt_score"), es.as("es_score"))
       .withColumn("predicted_lang",
         when(col("en_score") >= col("pt_score") && col("en_score") >= col("es_score"), "en")
           .when(col("pt_score") >= col("es_score"), "pt")
@@ -51,6 +64,17 @@ object TextAnalysisOps {
       .join(d, Seq("doc_id"))
       .groupBy(col("lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** quality_ok as a pure column expression over `text` — shared by
+    * [[qualityScore]] and the composite filter pipeline. Thresholds on
+    * the ROUNDED mean word length, identical to the emitted column.
+    */
+  private[ops] def qualityOkCol(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nWords = size(split(text, " ")).cast("double")
+    val mwl = round(nChars / nWords, 4)
+    (nWords.cast("long") >= 10) && (mwl >= 2.5) && (mwl <= 12.0)
   }
 
   /** Quality scoring: length, word stats, stopword ratio, punctuation
