@@ -119,7 +119,10 @@ object MultimodalOps {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => MediaRow(id, "image", genPng(id))))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory encode too
+        it.map(id => MediaRow(id, "image", genPng(id)))
+      }
   }
 
   /** Batched REAL decode: per-partition iterator over the binary
@@ -129,6 +132,10 @@ object MultimodalOps {
   def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
+      // per-partition codec setup: ImageIO defaults to a DISK-backed
+      // stream cache (a temp file per decode!) — in-memory payloads
+      // never need it and 32 concurrent tasks contend on tmpfs
+      javax.imageio.ImageIO.setUseCache(false)
       // ImageIO.read returns null (no exception) for undecodable bytes:
       // a corrupt payload skips the row instead of NPE-ing the task —
       // the missing-input drop semantics of the rest of the engine
@@ -156,6 +163,7 @@ object MultimodalOps {
   def resizeImages(media: Dataset[MediaRow], side: Int = 8): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false) // see decodeImages
       batch.flatMap { m =>
         Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(m.payload))).map { img =>
