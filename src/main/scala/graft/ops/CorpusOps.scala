@@ -146,8 +146,9 @@ object CorpusOps {
     * published Gopher top-2-gram rule). Explode + two hash aggregations
     * with map-side partials — no windows, no per-doc collect.
     */
-  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  def repetitionStats(spark: SparkSession, dir: String,
+                      docFilter: Column = lit(true)): DataFrame = {
+    val d = docs(spark, dir).filter(docFilter)
     val ws = split(col("text"), " ")
     // the 2M-row bigram aggregation keys on (doc_id, bg) only; the cheap
     // per-doc word stats (one row per doc) join back afterwards instead
@@ -195,7 +196,10 @@ object CorpusOps {
       .select(col("doc_id"),
         (TextAnalysisOps.predictedLangCol(col("text")) === "en").as("lang_ok"),
         TextAnalysisOps.qualityOkCol(col("text")).as("quality_ok"))
-    val rep = repetitionStats(spark, dir)
+    // the benchmark slice never survives the join with `base` — filter
+    // it BEFORE the bigram explode instead of discarding its aggregated
+    // rows afterwards (decontaminate already excludes it output-side)
+    val rep = repetitionStats(spark, dir, col("doc_id") % 11 =!= 0)
       .select(col("doc_id"), col("repetition_ok"))
     val cont = decontaminate(spark, dir)
       .select(col("doc_id"), lit(true).as("contaminated"))

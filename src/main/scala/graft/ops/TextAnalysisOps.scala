@@ -20,10 +20,6 @@ object TextAnalysisOps {
     ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), "")))
       / marker.length).cast("long")
 
-  /** n-gram / stopword language-ID heuristic. Scores a handful of
-    * high-frequency function words per language over the padded text;
-    * argmax wins with a deterministic precedence order.
-    */
   /** The three stopword scores as pure column expressions over `text` —
     * one definition shared by [[langId]] and the composite filter
     * pipeline (which folds language-ID into the same scan, no join).
@@ -42,6 +38,10 @@ object TextAnalysisOps {
     when(en >= pt && en >= es, "en").when(pt >= es, "pt").otherwise("es")
   }
 
+  /** n-gram / stopword language-ID heuristic. Scores a handful of
+    * high-frequency function words per language over the padded text;
+    * argmax wins with a deterministic precedence order.
+    */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val (en, pt, es) = langScores(col("text"))
