@@ -2,44 +2,58 @@ package graft.mstr
 
 import graft.pipeline.PageRow
 import graft.text.TextOps
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, count, substring_index}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
 import scala.collection.mutable
+import scala.reflect.ClassTag
 
 /** Join-based MSTR extraction for corpora too big to broadcast — the
   * documented escape hatch of [[MstrPipeline]] (which broadcasts the
   * whole content corpus, a bounded-documentation-export assumption).
   *
-  * Shape: the content pages stay DISTRIBUTED as a `Dataset[PageRow]`;
-  * only the 9 index files (small dims by construction) are collected
-  * and broadcast. Extraction proceeds in staged passes mirroring the
-  * engine's call graph (report → dataset → attribute/metric → fact,
-  * report_extractor.py:155-297); each stage broadcasts a compact
-  * REQUEST map (entity-scale) and runs ONE map-side pass over the
-  * pages scan — the pages side streams, nothing corpus-sized ever
-  * shuffles, and every requested page is parsed once per stage. The
-  * whole run costs 4 + recursion-depth Spark jobs: one combined
-  * index+dup scan, one per staged pass (the request collect doubles as
-  * the cache materializer), one assembly. Composite-metric recursion
-  * (A3) is an iterative stage loop carrying the visited PATH per
-  * branch, exactly the engine's per-branch `visited.copy()` semantics.
-  * Fragments are assembled into the nested tree per report in one
-  * `groupByKey(report_id)` pass.
+  * Shape: BOTH big dimensions stay distributed. The content pages are
+  * laid out by basename ONCE (one corpus-wide `reduceByKey` under a
+  * pinned HashPartitioner, which also applies the greatest-url
+  * duplicate rule uniformly at any duplication cardinality), and every
+  * staged pass is a co-partitioned `zipPartitions` join between that
+  * layout and the stage's REQUEST table — itself a distributed RDD
+  * derived from the previous stage's output, shuffled at entity scale
+  * into the same partitioner. Matched pages are decoded and parsed
+  * once per stage; requests NEVER transit the driver (the round-3
+  * shape collected + re-broadcast every stage's request list, a
+  * driver-serial term measured at ≈60 s per 50k reports — linear in
+  * entities but serial, the one dimension that didn't scale with
+  * executors). Only the 9 locale index files (small dims by
+  * construction) and the final [[ReportJsonRow]]s ever reach the
+  * driver.
+  *
+  * The whole run costs 3 + recursion-depth Spark jobs: one bounded
+  * index collect, one O(1) aggregate probe per staged pass (the probe
+  * doubles as the materializing action for the stage cache; the pages
+  * shuffle rides the first of them and is reused by all later stages),
+  * one assembly. Composite-metric recursion (A3) is an iterative stage
+  * loop carrying the visited PATH per branch, exactly the engine's
+  * per-branch `visited.copy()` semantics. Fragments are assembled into
+  * the nested tree per report in one `groupBy(report_id)` pass.
   *
   * Missing-file semantics match the engine: report/dataset/metric
-  * requests whose file is absent simply drop out of the inner join
-  * (engine returns None); fact tables default to empty (the engine
-  * keeps the FactRef with no logic tables), overridden when the fact
-  * page is found.
+  * requests whose file is absent simply drop out of the join (engine
+  * returns None); fact tables default to empty (the engine keeps the
+  * FactRef with no logic tables), overridden when the fact page is
+  * found.
   *
   * Same parsers, same broadcast indexes, same output: byte-identical
-  * report JSON via both paths (MstrJoinSpec).
+  * report JSON via both paths (MstrJoinSpec). Request order within a
+  * (file, stage) group is shuffle-order — legal because every stage
+  * applies its requests independently and every fragment carries its
+  * ordinal/position key, so assembly's sorts make the output
+  * order-invariant (partition-invariance is asserted in MstrJoinSpec).
   */
 object MstrJoinPipeline {
 
   // ---- stage records (all non-recursive → Catalyst-encodable) ----
-
-  final case class PageHtml(file: String, url: String, html: String)
 
   final case class ReportReq(file: String, name: String, href: String, ord: Int)
   final case class DsReq(report_id: String, ds_ord: Int, ds_name: String,
@@ -65,14 +79,11 @@ object MstrJoinPipeline {
 
   /** Universal stage envelope: every stage output — assembled-tree
     * fragment or follow-up request — rides as a compact java-serialized
-    * blob tagged by `kind`. Keeping the Spark-facing schema at three
-    * flat primitive columns (vs deeply nested optional structs) cuts
-    * Catalyst analysis time per internal job by an order of magnitude —
-    * the payloads are internal to this pipeline, never queried
-    * columnar, and the recursive tree they feed can't be a Catalyst
-    * schema anyway (SURVEY.md §7.4.2). `report_id` is the assembly
-    * group key for fragments (empty for requests — requests carry their
-    * own keys inside the payload).
+    * blob tagged by `kind`. The payloads are internal to this pipeline,
+    * never queried columnar, and the recursive tree they feed can't be
+    * a Catalyst schema anyway (SURVEY.md §7.4.2). `report_id` is the
+    * assembly group key for fragments (empty for requests — requests
+    * carry their own keys inside the payload).
     */
   final case class Frag(report_id: String, kind: Int, blob: Array[Byte])
 
@@ -107,19 +118,12 @@ object MstrJoinPipeline {
   }
   private def guid(seed: String): String = TextOps.md5HexUpper(seed)
 
-  /** Above this many duplicated basenames the driver stops carrying the
-    * dup set: the pages table is deduplicated fully distributed instead
-    * (one corpus-wide reduce), so a pathological corpus never pins an
-    * unbounded Set on the driver or the executors.
-    */
-  val DupSetBroadcastMax: Int = 65536
-
-  /** `internalShufflePartitions` sizes the request-side shuffles: every
-    * internal exchange here carries entity-scale request/fragment rows
-    * (never pages), so a narrow width collapses the orchestration
-    * latency of the internal jobs on small corpora; raise it when the
-    * entity count warrants. The pages scan itself is never shuffled
-    * (duplicate-basename anomalies excepted — see the dedup pass).
+  /** `internalShufflePartitions` sizes ONLY the assembly shuffle (the
+    * fragment groupBy — entity-scale rows, so a narrow width collapses
+    * orchestration latency on small corpora; raise it when the entity
+    * count warrants). Request-side stage shuffles are co-partitioned
+    * with the pages layout and take its width (= the input scan's
+    * parallelism). The pages scan shuffles exactly once, up front.
     *
     * The returned Dataset is PERSISTED (run() materializes eagerly so
     * all internal jobs execute under the scoped conf); a long-lived
@@ -129,68 +133,37 @@ object MstrJoinPipeline {
   def run(spark: SparkSession, pagesDs: Dataset[PageRow],
           lang: String = "pt-BR",
           internalShufflePartitions: Int = 4,
-          select: Option[LinkIndex => Seq[LinkResult]] = None,
-          dupSetBroadcastMax: Int = DupSetBroadcastMax): Dataset[ReportJsonRow] = {
+          select: Option[LinkIndex => Seq[LinkResult]] = None): Dataset[ReportJsonRow] = {
     val indexFiles = indexFileSet(MstrLocale.forLang(lang))
     // AQE's stage-by-stage materialization adds a driver job every time
     // the pages Dataset-to-RDD lineage is re-executed, and the staged
-    // passes are shuffle-free, so there is nothing for it to re-plan —
-    // scope it off for the whole run (shuffle WIDTH is left untouched)
+    // passes shuffle outside Catalyst, so there is nothing for it to
+    // re-plan — scope it off for the whole run (shuffle WIDTH is left
+    // untouched)
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // ONE pruned conversion of the pages table feeds everything: the
-      // scan below and every staged pass (url + html only — the column
-      // pruning survives into the RDD because the projection happens on
-      // the Dataset side of the boundary)
+      // index collect below and the basename layout (url + html only —
+      // the column pruning survives into the RDD because the projection
+      // happens on the Dataset side of the boundary)
       import spark.implicits._
-      val urlHtml: org.apache.spark.rdd.RDD[(String, Array[Byte])] =
+      val urlHtml: RDD[(String, Array[Byte])] =
         pagesDs.select(col("url"), col("html")).as[(String, Array[Byte])].rdd
 
-      // ONE corpus-wide pass does both up-front scans: collect the 9
-      // locale index files (greatest-url html per basename, the
-      // corpusFromPages rule) and detect duplicate basenames. Non-index
-      // html is dropped BEFORE the exchange and counts combine map-side
-      // (reduceByKey), so the shuffle carries one (basename, count) row
-      // per distinct name plus at most 9 html payloads. What returns to
-      // the driver is BOUNDED: index rows ride in full (≤10), duplicated
-      // basenames are counted exactly but their NAME SET is capped at
-      // dupSetBroadcastMax — past the cap the set is discarded and the
-      // distributed-dedup path runs, so no corpus can pin an unbounded
-      // set on the driver.
-      val cap = math.max(dupSetBroadcastMax, 0)
-      type Acc = (Vector[(String, Array[Byte])], Set[String], Long)
-      val (idxRows, dupSample, nDup) = urlHtml
-        .map { case (url, html) =>
-          val file = fileName(url)
-          (file, (1L, url, if (indexFiles.contains(file)) html else null))
-        }
-        .reduceByKey { (a, b) =>
-          val hi = if (a._2 >= b._2) a else b
-          (a._1 + b._1, hi._2, hi._3)
-        }
-        .aggregate((Vector.empty[(String, Array[Byte])], Set.empty[String], 0L): Acc)(
-          seqOp = { case ((idx, dups, n), (file, (cnt, _, ih))) =>
-            val idx2 = if (ih != null) idx :+ (file -> ih) else idx
-            val isDup = cnt > 1 && ih == null && !indexFiles.contains(file)
-            val dups2 = if (isDup && dups.size <= cap) dups + file else dups
-            (idx2, dups2, if (isDup) n + 1 else n)
-          },
-          combOp = { case ((i1, d1, n1), (i2, d2, n2)) =>
-            (i1 ++ i2, (d1 ++ d2).take(cap + 1), n1 + n2)
-          })
+      // the 9 locale index files are the ONLY page content that ever
+      // reaches the driver: non-index html drops before the exchange,
+      // duplicates resolve map-side by the greatest-url rule (the
+      // corpusFromPages rule), ≤10 rows return
+      val idxRows = urlHtml
+        .filter { case (url, _) => indexFiles.contains(fileName(url)) }
+        .map { case (url, html) => (fileName(url), (url, html)) }
+        .reduceByKey((a, b) => if (a._1 >= b._1) a else b)
+        .collect()
+      val indexHtml: Map[String, String] =
+        idxRows.iterator.map { case (f, (_, h)) => f -> TextOps.decodeLatin1(h) }.toMap
 
-      val indexHtml: Map[String, String] = idxRows.iterator
-        .map { case (file, ih) => file -> TextOps.decodeLatin1(ih) }
-        .toMap
-      // complete set only when every duplicated name fit under the cap
-      val dupFiles: Option[Set[String]] =
-        if (nDup == 0) Some(Set.empty)
-        else if (nDup <= cap && dupSample.size == nDup) Some(dupSample)
-        else None
-
-      runScoped(spark, urlHtml, lang, select, indexHtml, dupFiles,
-        internalShufflePartitions)
+      runScoped(spark, urlHtml, lang, select, indexHtml, internalShufflePartitions)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
@@ -200,11 +173,10 @@ object MstrJoinPipeline {
       loc.pasta)
 
   private def runScoped(spark: SparkSession,
-                        urlHtml: org.apache.spark.rdd.RDD[(String, Array[Byte])],
+                        urlHtml: RDD[(String, Array[Byte])],
                         lang: String,
                         select: Option[LinkIndex => Seq[LinkResult]],
                         indexHtml: Map[String, String],
-                        dupFiles: Option[Set[String]],
                         internalShufflePartitions: Int): Dataset[ReportJsonRow] = {
     import spark.implicits._
     val loc = MstrLocale.forLang(lang)
@@ -229,52 +201,64 @@ object MstrJoinPipeline {
     // its per-job analysis was the dominant orchestration cost (~0.1 s
     // per internal job). Dataset stays the boundary type: pages in,
     // ReportJsonRow out.
-    val pagesRaw: org.apache.spark.rdd.RDD[PageHtml] = urlHtml
+    //
+    // The basename layout is THE corpus-wide shuffle of the run: pages
+    // keyed by file under one pinned partitioner, duplicates resolved
+    // by greatest url in the same reduce (map-side combine — a corpus
+    // with unique basenames grows no rows). Decode is deferred to match
+    // time, so the cached rows are raw bytes and only pages some stage
+    // actually requests ever pay Latin-1 decode + parse. Every stage
+    // reuses this one layout; nothing page-sized moves again.
+    val sl = StorageLevel.MEMORY_AND_DISK
+    val width = math.max(urlHtml.getNumPartitions, 1)
+    val part = new org.apache.spark.HashPartitioner(width)
+    val pagesByFile: RDD[(String, (String, Array[Byte]))] = urlHtml
       .filter { case (url, _) => !indexFiles.contains(fileName(url)) }
-      .map { case (url, html) =>
-        PageHtml(fileName(url), url, TextOps.decodeLatin1(html))
-      }
+      .map { case (url, html) => (fileName(url), (url, html)) }
+      .reduceByKey(part, (a: (String, Array[Byte]), b: (String, Array[Byte])) =>
+        if (a._1 >= b._1) a else b)
+      .persist(sl)
 
-    // Duplicate-basename dedup (greatest url wins — same rule as
-    // corpusFromPages) happens ONCE, and only anomalous files pay:
-    // corpora with unique file keys skip the reduction entirely — the
-    // pages side then streams through every stage unshuffled. When the
-    // dup set was over the cap (None), it was never materialized
-    // anywhere: the whole table is deduplicated with one distributed
-    // reduce instead (correct at any duplication cardinality).
-    def greatestUrl(a: PageHtml, b: PageHtml): PageHtml = if (a.url >= b.url) a else b
-    val pages: org.apache.spark.rdd.RDD[PageHtml] = dupFiles match {
-      case Some(s) if s.isEmpty => pagesRaw
-      case Some(s) =>
-        val bDup = spark.sparkContext.broadcast(s)
-        val clean = pagesRaw.filter(p => !bDup.value.contains(p.file))
-        val dedupedDups = pagesRaw.filter(p => bDup.value.contains(p.file))
-          .keyBy(_.file).reduceByKey(greatestUrl _).values
-        clean.union(dedupedDups)
-      case None =>
-        pagesRaw.keyBy(_.file).reduceByKey(greatestUrl _).values
-    }
-
-    /** One stage = ONE map-side pass over the pages scan: the request
-      * list (entity-scale by design — the reference's work lists) is
-      * broadcast as a plain per-file map, each matched page is parsed
-      * ONCE and all its requests applied row-locally. No join to plan,
-      * no broadcast-exchange build job, no shuffle; fragments stay
-      * distributed and only compact request rows return to the driver —
-      * exactly what a broadcast-hash-join alternative would collect for
-      * its build side anyway.
+    /** One stage = one co-partitioned zipPartitions join: the request
+      * table (entity-scale by design — the reference's work lists)
+      * shuffles into the pages partitioner, each partition builds a
+      * bounded (requests/width) per-file hash map of its requests, and
+      * the pages side STREAMS through — each matched page decoded and
+      * parsed ONCE with all its requests applied row-locally. No
+      * driver transit, no broadcast build, nothing page-sized moves;
+      * fragments and follow-up requests stay distributed.
       */
-    def stage[R](reqs: Seq[R])(fileOf: R => String)(
-        f: (Soup, MstrIndexes, Seq[R]) => Seq[Frag]): org.apache.spark.rdd.RDD[Frag] = {
-      val byFile: Map[String, Seq[R]] = reqs.groupBy(fileOf)
-      val bReq = spark.sparkContext.broadcast(byFile)
-      pages.flatMap { pg =>
-        bReq.value.get(pg.file) match {
-          case Some(rs) => f(Soup.parse(pg.html), bIdx.value, rs)
-          case None => Nil
+    def stage[R: ClassTag](reqs: RDD[(String, R)])(
+        f: (Soup, MstrIndexes, Seq[R]) => Seq[Frag]): RDD[Frag] = {
+      val reqsP = reqs.partitionBy(part)
+      pagesByFile.zipPartitions(reqsP) { (pIt, rIt) =>
+        val byFile = new java.util.HashMap[String, mutable.ArrayBuffer[R]]()
+        rIt.foreach { case (fl, r) =>
+          byFile.computeIfAbsent(fl, _ => mutable.ArrayBuffer.empty[R]) += r
+        }
+        // a request-free partition must not even deserialize its pages
+        if (byFile.isEmpty) Iterator.empty
+        else pIt.flatMap { case (file, (_, html)) =>
+          val rs = byFile.get(file)
+          if (rs == null) Nil
+          else f(Soup.parse(TextOps.decodeLatin1(html)), bIdx.value, rs.toSeq)
         }
       }
     }
+
+    /** O(1)-row probe that doubles as the materializing action for a
+      * stage's cache: counts follow-up requests by kind in one job.
+      */
+    def probe(out: RDD[Frag]): Map[Int, Long] = out
+      .aggregate(Map.empty[Int, Long])(
+        (m, f) => m.updated(f.kind, m.getOrElse(f.kind, 0L) + 1),
+        (a, b) => b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) })
+
+    def reqRdd[R: ClassTag](out: RDD[Frag], kind: Int)(fileOf: R => String): RDD[(String, R)] =
+      out.filter(_.kind == kind).map { f =>
+        val r = Frag.read(f).asInstanceOf[R]
+        (fileOf(r), r)
+      }
 
     // ---- stage R: report skeletons + dataset routing ----
     // `select` = the CLI's --filter/--report/--report-id narrowing,
@@ -285,13 +269,19 @@ object MstrJoinPipeline {
     // documento index must yield one output row per link, exactly like
     // the broadcast engine's per-link flatMap — so the internal group
     // key is (report_id, link ordinal), folded into one string that all
-    // downstream request/fragment rows carry opaquely
+    // downstream request/fragment rows carry opaquely. This list is the
+    // single driver-born work table (the documento index is parsed on
+    // the driver — bounded by index-file size); everything after it is
+    // distributed.
     val reportReqs: Seq[ReportReq] =
       workLinks.zipWithIndex.map { case (l, i) =>
         ReportReq(l.file, l.name, l.href, i)
       }.toSeq
+    val reportReqRdd: RDD[(String, ReportReq)] =
+      spark.sparkContext.parallelize(reportReqs, math.max(1, math.min(width, reportReqs.size)))
+        .map(r => (r.file, r))
 
-    val rOut = stage(reportReqs)(_.file) { (soup, idx, rs) =>
+    val rOut = stage(reportReqRdd) { (soup, idx, rs) =>
       rs.flatMap { rq =>
         val (_, reportId) = Soup.splitHref(rq.href)
         if (reportId.isEmpty) Nil
@@ -326,16 +316,17 @@ object MstrJoinPipeline {
           }
         }
       }
-    }.persist()
+    }.persist(sl)
 
-    // the collect is the materializing action for rOut's cache; dataset
-    // requests are entity-scale (one per dataset link on a report page)
-    val dsReqs: Seq[DsReq] = rOut.filter(_.kind == Frag.KDs).collect()
-      .map(Frag.read(_).asInstanceOf[DsReq]).toSeq
-    prof(s"stage-R done (${dsReqs.size} ds reqs)")
+    // the probe is the materializing action for rOut's cache (and runs
+    // the pages layout shuffle, reused by every later stage); dataset
+    // requests stay distributed
+    val rCounts = probe(rOut)
+    prof(s"stage-R done (${rCounts.getOrElse(Frag.KDs, 0L)} ds reqs)")
+    val dsReqRdd = reqRdd[DsReq](rOut, Frag.KDs)(_.file)
 
     // ---- stage D: dataset pages → template objects → attr/metric reqs ----
-    val dOut = stage(dsReqs)(_.file) { (soup, idx, rs) =>
+    val dOut = stage(dsReqRdd) { (soup, idx, rs) =>
       rs.flatMap { rq =>
         val isReport = MstrParsers.isReportDataset(soup, loc, rq.ds_id)
         val (appObject, graphic, attrsInfo, metricsInfo) =
@@ -373,16 +364,13 @@ object MstrJoinPipeline {
         }
         dsFrag +: (attrs ++ mets)
       }
-    }.persist()
+    }.persist(sl)
 
-    // one action materializes dOut's cache AND returns both request
-    // kinds (attribute + first-level metric), again entity-scale rows
-    val l1Reqs: Seq[Either[AttrReq, MetricReq]] =
-      dOut.filter(_.kind != Frag.KFrag).collect().toSeq.map { f =>
-        if (f.kind == Frag.KAttr) Left(Frag.read(f).asInstanceOf[AttrReq])
-        else Right(Frag.read(f).asInstanceOf[MetricReq])
-      }
-    prof(s"stage-D done (${l1Reqs.size} l1 reqs)")
+    // one probe materializes dOut's cache and sizes the level-1
+    // frontier (attribute + first-level metric requests ride together)
+    val dCounts = probe(dOut)
+    val nL1 = dCounts.getOrElse(Frag.KAttr, 0L) + dCounts.getOrElse(Frag.KMetric, 0L)
+    prof(s"stage-D done ($nL1 l1 reqs)")
 
     // ---- stage A body: attribute pages → forms (attribute_extractor.py);
     // fused into the first level pass so attribute and metric pages are
@@ -463,46 +451,52 @@ object MstrJoinPipeline {
 
     // ---- fused level loop: level 1 serves attribute AND first-level
     // metric requests from one scan; deeper levels carry the recursion
-    // frontier. One job per level: the collect of follow-up request
-    // rows doubles as the materializing action for the level's
-    // fragment cache.
+    // frontier. One job per level (the probe); frontier and fact
+    // requests stay distributed RDD views over the persisted level
+    // caches — the driver only ever sees their COUNTS.
     def fusedStage(soup: Soup, idx: MstrIndexes,
                    rs: Seq[Either[AttrReq, MetricReq]]): Seq[Frag] =
       rs.flatMap {
         case Left(a)  => Seq(attrStage(soup, idx, a))
         case Right(m) => metricStage(soup, idx, Seq(m))
       }
-    def fileOfEither(e: Either[AttrReq, MetricReq]): String =
-      e.fold(_.file, _.file)
 
-    var frontier: Seq[Either[AttrReq, MetricReq]] = l1Reqs
+    var frontier: RDD[(String, Either[AttrReq, MetricReq])] =
+      dOut.filter(_.kind != Frag.KFrag).map { f =>
+        Frag.read(f) match {
+          case a: AttrReq   => (a.file, Left(a): Either[AttrReq, MetricReq])
+          case m: MetricReq => (m.file, Right(m): Either[AttrReq, MetricReq])
+        }
+      }
+    var nFrontier = nL1
     var mnodeFrags = spark.sparkContext.emptyRDD[Frag]
-    var factReqs = List.empty[FactReq]
-    val persisted =
-      scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]](rOut, dOut)
+    var factReqRdd: RDD[(String, FactReq)] =
+      spark.sparkContext.emptyRDD[(String, FactReq)]
+    val persisted = mutable.ArrayBuffer[RDD[_]](rOut, dOut)
     var depth = 0
-    while (frontier.nonEmpty && depth < 64) {
+    while (nFrontier > 0 && depth < 64) {
       depth += 1
-      val out = stage(frontier)(fileOfEither)(fusedStage).persist()
+      val out = stage(frontier)(fusedStage).persist(sl)
       persisted += out
-      val next = out.filter(_.kind != Frag.KFrag).collect()
-      prof(s"level $depth done (${next.length} follow-ups)")
+      val counts = probe(out)
+      prof(s"level $depth done (${counts.getOrElse(Frag.KMetric, 0L) +
+        counts.getOrElse(Frag.KFact, 0L)} follow-ups)")
       mnodeFrags = mnodeFrags.union(out)
-      factReqs = factReqs ++ next.iterator.filter(_.kind == Frag.KFact)
-        .map(Frag.read(_).asInstanceOf[FactReq])
-      frontier = next.iterator.filter(_.kind == Frag.KMetric)
-        .map(f => Right(Frag.read(f).asInstanceOf[MetricReq])).toSeq
+      factReqRdd = factReqRdd.union(reqRdd[FactReq](out, Frag.KFact)(_.file))
+      frontier = reqRdd[MetricReq](out, Frag.KMetric)(_.file)
+        .mapValues(m => Right(m): Either[AttrReq, MetricReq])
+      nFrontier = counts.getOrElse(Frag.KMetric, 0L)
     }
     // a >64-deep acyclic composite chain must fail LOUDLY, not emit a
     // silently truncated tree diverging from the broadcast-path engine
-    if (frontier.nonEmpty)
+    if (nFrontier > 0)
       throw new IllegalStateException(
-        s"composite-metric recursion exceeded depth 64 with ${frontier.size} pending requests")
+        s"composite-metric recursion exceeded depth 64 with $nFrontier pending requests")
 
     // ---- stage F: fact pages → logic tables (fact_parser.py); lazy —
     // its fragments are first (and only) computed inside the assembly
     // job, so it adds no orchestration job of its own ----
-    val factFrags = stage(factReqs)(_.file) { (soup, idx, rs) =>
+    val factFrags = stage(factReqRdd) { (soup, idx, rs) =>
       rs.map { rq =>
         val lts = MstrParsers.extractFactLogicTables(soup, loc,
           Some(rq.anchor).filter(_.nonEmpty)).map { lt =>
@@ -567,13 +561,18 @@ object MstrJoinPipeline {
       prof(s"  allFrags: ${allFrags.count()} rows")
       prof(s"  assembled rdd: ${assembled.count()} rows")
     }
-    val result = spark.createDataset(assembled).persist()
+    val result = spark.createDataset(assembled).persist(sl)
     result.count()
     prof("assembly done")
     // the intermediate caches served their purpose during assembly —
-    // release them so repeated run() calls don't pin blocks for the
-    // session lifetime (the result itself stays cached)
+    // release them (and the pages layout + executor copies of the index
+    // broadcast) so repeated run() calls don't pin blocks for the
+    // session lifetime. The result itself stays cached disk-backed;
+    // unpersist (not destroy) keeps the broadcast refetchable from the
+    // driver should a lost block ever force lineage recompute.
     persisted.foreach(_.unpersist(blocking = false))
+    pagesByFile.unpersist(blocking = false)
+    bIdx.unpersist(blocking = false)
     result
   }
 

@@ -175,13 +175,19 @@ object DedupOps {
     // them) — filter up front so both paths emit the same node set
     val pairs = rawPairs.filter(col("a") =!= col("b"))
 
-    // Non-numeric ids can't ride the Long-typed label loop below; star
-    // contraction is type-generic over any ordered id and stays correct
-    // (just O(log^2 n) rounds instead of O(diameter)) — route them there
-    // instead of silently null-casting.
-    val numericIds = Seq("a", "b").forall(c => rawPairs.schema(c).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType])
-    if (!numericIds) return connectedComponentsStar(pairs)
+    // Only exactly-Long-representable ids can ride the Long-typed label
+    // loop below: fractional types (double/float, decimal with scale)
+    // would truncate under cast("long"), silently merging distinct
+    // nodes like 1.2 and 1.7. Star contraction is type-generic over any
+    // ordered id and stays correct (just O(log^2 n) rounds instead of
+    // O(diameter)) — route strings AND non-integral numerics there.
+    import org.apache.spark.sql.types._
+    val integralIds = Seq("a", "b").forall(c => rawPairs.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0 && d.precision <= 18
+      case _ => false
+    })
+    if (!integralIds) return connectedComponentsStar(pairs)
 
     // The bounded min-label loop runs on the RDD layer with ONE
     // explicit hash partitioning reused every round: edges are
@@ -290,15 +296,20 @@ object DedupOps {
 
     // lazy checkpoints again: the probe is the materializing action, so
     // each contraction round costs one job. hash() keeps the fixpoint
-    // probe type-generic (string ids ride this path); at the star
-    // fixpoint the edge set — hence the hash sum — is stable, same
-    // detection class as the numeric sum it replaces.
-    def edgeSum(df: DataFrame): Long = {
-      val r = df.agg(sum(hash(col("u"), col("v")).cast("long"))).head
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // probe type-generic (string ids ride this path). A bare hash-sum
+    // can collide between two DIFFERENT consecutive edge sets and exit
+    // early with a non-star forest; pairing it with the edge COUNT in
+    // the same aggregation makes equality imply the stronger invariant
+    // (same count + same multiset hash-sum) at zero extra jobs, and
+    // star contraction additionally never re-adds a removed edge, so a
+    // stable (count, sum) pair over its monotone trajectory means a
+    // stable edge set.
+    def edgeSum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(hash(col("u"), col("v")).cast("long"))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var prev = -1L
+    var prev = (-1L, -1L)
     var cur = edgeSum(edges)
     var rounds = 0
     while (cur != prev && rounds < 64) {

@@ -272,7 +272,12 @@ object MultimodalOps {
             }
           } finally ais.close()
         } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          // not just UnsupportedAudioFileException: a RIFF payload the
+          // reader recognizes but can't parse (truncated/negative chunk
+          // sizes) surfaces as IOException or a runtime exception from
+          // readAllBytes — all of those are "corrupt payload drops the
+          // row", never "abort the task"
+          case scala.util.control.NonFatal(_) => None
         }
       }
     }

@@ -62,12 +62,12 @@ class MstrJoinSpec extends AnyFunSuite {
     assert(viaJoin == clean, "join plan must keep the greatest-url page")
   }
 
-  test("mass-duplicated basenames stay correct WITHOUT a driver dup set (distributed dedup)") {
+  test("mass-duplicated basenames stay correct (dedup is always distributed)") {
     import spark.implicits._
-    // every content page shadowed => every basename is duplicated; with
-    // dupSetBroadcastMax = 0 the pipeline must refuse to carry the dup
-    // set and instead dedup the whole table distributed — and still be
-    // byte-identical to the clean broadcast run
+    // every content page shadowed => every basename is duplicated; the
+    // greatest-url rule rides the basename layout's reduceByKey, so no
+    // duplication cardinality ever materializes a driver-side dup set —
+    // output must be byte-identical to the clean broadcast run
     val shadowed = MstrCorpus.pages.flatMap { p =>
       val name = p.url.substring(p.url.lastIndexOf('/') + 1)
       Seq(p.copy(url = s"mstr://aaa/$name",
@@ -76,8 +76,7 @@ class MstrJoinSpec extends AnyFunSuite {
     val clean = MstrPipeline.run(spark, MstrCorpus.pages, "pt-BR")._1
       .collect().map(r => r.report_id -> r.json).toMap
     val viaJoin = MstrJoinPipeline.run(spark,
-      spark.createDataset(shadowed).repartition(4), "pt-BR",
-      dupSetBroadcastMax = 0)
+      spark.createDataset(shadowed).repartition(4), "pt-BR")
       .collect().map(r => r.report_id -> r.json).toMap
     assert(viaJoin == clean,
       "distributed-dedup path must keep the greatest-url page for every basename")
