@@ -27,12 +27,13 @@ object SparkEntry {
     "q_extract_spans" -> ((s, d) => ExtractOps.spansRoundtrip(s, d)),
     "q_corpus_stats" -> ((s, d) => ExtractOps.corpusStats(s, d)),
     "q_web_pipeline" -> ((s, _) => ExtractOps.webCorpus(s, 300, 32)),
-    // ---- multimodal binary columns (decode stub, real plumbing) ----
+    // ---- multimodal binary columns (real PNG/WAV/AVI codecs) ----
     "q_media_decode" -> ((s, d) => MultimodalOps.decodeQuery(s, d)),
     "q_media_frames" -> ((s, d) => MultimodalOps.framesQuery(s, d)),
     "q_media_image" -> ((s, d) => MultimodalOps.imageDecodeQuery(s, d)),
     "q_media_resize" -> ((s, d) => MultimodalOps.imageResizeQuery(s, d)),
     "q_media_audio" -> ((s, d) => MultimodalOps.audioDecodeQuery(s, d)),
+    "q_media_video" -> ((s, d) => MultimodalOps.videoDecodeQuery(s, d)),
     // ---- MSTR entity pipeline on the deterministic fixture corpus ----
     // (byte-identity asserted in MstrSpec; here rows-only sanity)
     "q_mstr_reports" -> ((s, _) => MstrQueries.reports(s)),
@@ -133,22 +134,63 @@ object SparkEntry {
          source AS meta_source
          FROM documents""",
 
+    // the oracle recomputes REAL per-modality codec output (PNG pixels,
+    // WAV samples, AVI/DIB frames) from the three generation formulas —
+    // all three decodes must exactly invert their encodes
     "q_media_decode" ->
-      """SELECT doc_id,
-         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         md5(text) AS digest,
-         CAST(16 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS INT) AS width,
-         CAST(16 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS INT) AS height
-         FROM documents""",
+      """WITH m AS (
+           SELECT doc_id, CAST(doc_id % 3 AS INT) AS k,
+                  CAST(16 + doc_id % 16 AS INT) AS iw,
+                  CAST(16 + (doc_id * 3) % 16 AS INT) AS ih,
+                  CAST(256 + doc_id % 256 AS BIGINT) AS ns,
+                  CAST(8 + doc_id % 8 AS INT) AS vw,
+                  CAST(8 + (doc_id * 5) % 8 AS INT) AS vh,
+                  CAST(2 + doc_id % 4 AS INT) AS nf
+           FROM documents)
+         SELECT doc_id,
+           CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CASE k WHEN 0 THEN iw WHEN 1 THEN 0 ELSE vw END AS width,
+           CASE k WHEN 0 THEN ih WHEN 1 THEN 0 ELSE vh END AS height,
+           CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN ns ELSE nf END AS BIGINT) AS n_units,
+           CAST(CASE k
+             WHEN 0 THEN list_sum(list_transform(generate_series(0, iw * ih - 1),
+               p -> (doc_id * 31 + (p % iw) * 7 + (p // iw) * 13) % 256))
+             WHEN 1 THEN list_sum(list_transform(generate_series(0, ns - 1),
+               i -> abs((doc_id * 37 + i * 101) % 65536 - 32768)))
+             ELSE list_sum(list_transform(generate_series(0, nf * vw * vh - 1),
+               p -> (doc_id * 31 + (p // (vw * vh)) * 17
+                     + ((p % (vw * vh)) % vw) * 7 + ((p % (vw * vh)) // vw) * 13) % 256))
+           END AS BIGINT) AS sum_stat
+         FROM m""",
 
+    // one row per REAL decoded AVI frame: count and per-frame luma sums
+    // from the generation formula
     "q_media_frames" ->
-      """WITH f AS (
-           SELECT doc_id, CAST(floor(octet_length(encode(text)) / 100) + 1 AS INT) AS n_frames
-           FROM documents WHERE doc_id % 3 = 2)
-         SELECT doc_id, CAST(t.frame_idx AS BIGINT) AS frame_idx,
-                md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.frame_idx AS VARCHAR)) AS frame_digest
-         FROM f, unnest(generate_series(0, n_frames - 1)) AS t(frame_idx)""",
+      """WITH v AS (
+           SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS vw,
+                  CAST(8 + (doc_id * 5) % 8 AS INT) AS vh,
+                  CAST(2 + doc_id % 4 AS INT) AS nf
+           FROM documents WHERE doc_id % 3 = 2),
+         fi AS (SELECT unnest(generate_series(0, 4)) AS f)
+         SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                CAST(list_sum(list_transform(generate_series(0, vw * vh - 1),
+                  p -> (doc_id * 31 + f * 17 + (p % vw) * 7 + (p // vw) * 13) % 256)) AS BIGINT) AS frame_luma
+         FROM v JOIN fi ON fi.f < v.nf""",
+
+    // full-clip AVI features over every document (not just the
+    // round-robin video third): container walk + raw DIB pixel
+    // integration must invert the hand-rolled AVI writer exactly
+    "q_media_video" ->
+      """WITH v AS (
+           SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS vw,
+                  CAST(8 + (doc_id * 5) % 8 AS INT) AS vh,
+                  CAST(2 + doc_id % 4 AS INT) AS nf
+           FROM documents)
+         SELECT doc_id, vw AS width, vh AS height, CAST(nf AS BIGINT) AS n_frames,
+                CAST(list_sum(list_transform(generate_series(0, nf * vw * vh - 1),
+                  p -> (doc_id * 31 + (p // (vw * vh)) * 17
+                        + ((p % (vw * vh)) % vw) * 7 + ((p % (vw * vh)) // vw) * 13) % 256)) AS BIGINT) AS luma_sum
+         FROM v""",
 
     // the oracle recomputes REAL decoded pixel stats from the image
     // generation formula — PNG decode must exactly invert the encode

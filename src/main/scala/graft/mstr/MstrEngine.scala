@@ -200,6 +200,9 @@ final class MstrEngine(indexes: MstrIndexes, files: String => Option[Soup],
   // Metric level (metric_extractor.py:23-134, extractor_helpers.py)
   // ------------------------------------------------------------------
 
+  private def rebindDataset(m: Metrica, dsId: String): Metrica =
+    m.copy(datasetId = dsId, metricas = m.metricas.map(rebindDataset(_, dsId)))
+
   def extractMetric(metricName: String, metricFilePath: String, datasetId: String,
                     metricIdOpt: Option[String],
                     visited: mutable.Set[String]): Option[Metrica] = {
@@ -221,8 +224,15 @@ final class MstrEngine(indexes: MstrIndexes, files: String => Option[Soup],
         s":$metricFilePath"
     if (entryVisitedEmpty) metricCache.get(cacheKey).foreach { cached =>
       if (metricaId.nonEmpty) visited -= metricaId
-      // rebind dataset_id on hit, like the reference (extractor_helpers.py:56-77)
-      return Some(cached.copy(datasetId = datasetId))
+      // rebind dataset_id on hit RECURSIVELY: recomputation threads the
+      // current datasetId through every child, so a top-only rebind
+      // (the reference's, extractor_helpers.py:56-77) would leave the
+      // populating dataset's id on nested nodes whenever one composite
+      // is shared by two datasets — order-dependent, and diverging from
+      // the join plan's assembly (which binds every node to the current
+      // dataset). Deep rebind keeps the cache strictly
+      // recompute-equivalent (class doc; EngineCacheSpec).
+      return Some(rebindDataset(cached, datasetId))
     }
 
     val parts = metricFilePath.split("#", 2)

@@ -85,4 +85,33 @@ class EngineCacheSpec extends AnyFunSuite {
 
     dualPlanEqual(corpus)
   }
+
+  test("composite shared by two datasets rebinds dataset_id on every node, not just the top") {
+    // "Margem" (composite: Receita Total / Custo) is listed on Cubo
+    // Vendas, which populates the metric cache; adding it to Mês Atual
+    // serves it from cache. Recomputation threads the CURRENT dataset id
+    // through every child, so the cache hit must too — a top-only rebind
+    // (the reference's) leaves CUBOID on the nested nodes.
+    val margemLink =
+      s"""<a href="Metrica_1.html#${ph(MstrCorpus.MARGEMID)}">Margem</a>"""
+    val shared = cicloALink + s"\n        $margemLink"
+    val base = MstrCorpus.cuboContentHtml
+    assert(base.contains(cicloALink), "fixture surgery anchor moved")
+    val corpus = MstrCorpus.corpus.updated("Cubo_1.html", base.replace(cicloALink, shared))
+
+    val reports = engineFor(corpus).extractAllReports()
+    def margemUnder(dsId: String): graft.mstr.Metrica =
+      reports.flatMap(_.datasets).find(_.id == dsId).get
+        .metricas.find(_.id == MstrCorpus.MARGEMID).get
+    def allDsIds(m: graft.mstr.Metrica): Seq[String] =
+      m.datasetId +: m.metricas.flatMap(allDsIds)
+    val onCubo = margemUnder(MstrCorpus.CUBOID)
+    val onMes = margemUnder(MstrCorpus.MESID)
+    assert(onCubo.metricas.nonEmpty, "fixture lost the composite expansion")
+    assert(allDsIds(onCubo).distinct == List(MstrCorpus.CUBOID))
+    assert(allDsIds(onMes).distinct == List(MstrCorpus.MESID),
+      "cache-served composite must rebind dataset_id recursively (recompute-equivalence)")
+
+    dualPlanEqual(corpus)
+  }
 }

@@ -130,19 +130,64 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     assert(n == "EXPRESSAO")
   }
 
-  test("multimodal: decode stub features + frame sampling are deterministic") {
+  test("multimodal: REAL AVI/DIB decode inverts the hand-rolled container write") {
+    import graft.ops.MultimodalOps
+    // direct roundtrip: the generated bytes are a chunk-walkable AVI
+    // whose decoded frames reproduce the generation formula exactly
+    val id = 42L
+    val (w, h, frames) = MultimodalOps.parseAvi(MultimodalOps.genAvi(id)).get
+    assert(w == 8 + (id % 8).toInt && h == 8 + ((id * 5) % 8).toInt)
+    assert(frames.size == 2 + (id % 4).toInt)
+    frames.zipWithIndex.foreach { case (sum, f) =>
+      val expected = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + f * 17 + x * 7 + y * 13) % 256).sum
+      assert(sum == expected, s"frame $f")
+    }
+    // corrupt payloads drop, never throw: junk magic, truncated mid-movi,
+    // and a frame chunk whose size overruns the buffer
+    assert(MultimodalOps.parseAvi(Array[Byte](1, 2, 3)).isEmpty)
+    val good = MultimodalOps.genAvi(7L)
+    assert(MultimodalOps.parseAvi(good.take(good.length - 5)).isEmpty)
+    val overrun = good.clone
+    overrun(4) = -1; overrun(5) = -1 // riffSize huge; later chunks overrun
+    assert(MultimodalOps.parseAvi(overrun.take(64)).isEmpty)
+  }
+
+  test("multimodal: unified decode dispatches all three REAL codecs by kind") {
     import spark.implicits._
-    val feats = graft.ops.MultimodalOps.decodeQuery(spark, "/root/testdata/sf0.001")
-    val rows = feats.collect()
-    assert(rows.length == 500)
-    assert(feats.filter(col("width") < 16 || col("width") > 31).count() == 0)
-    val frames = graft.ops.MultimodalOps.framesQuery(spark, "/root/testdata/sf0.001")
-    // only video rows produce frames; idempotent across runs
-    val a = frames.collect().map(_.toString).sorted
-    val b = graft.ops.MultimodalOps.framesQuery(spark, "/root/testdata/sf0.001")
-      .collect().map(_.toString).sorted
-    assert(a.sameElements(b))
-    assert(a.nonEmpty)
+    import graft.ops.MultimodalOps
+    val feats = MultimodalOps.decodeQuery(spark, "/root/testdata/sf0.001")
+      .as[MultimodalOps.MediaFeatures].collect()
+    assert(feats.length == 500)
+    assert(feats.map(_.kind).toSet == Set("image", "audio", "video"))
+    feats.filter(_.doc_id < 60).foreach { ft =>
+      val d = ft.doc_id
+      ft.kind match {
+        case "image" =>
+          val (w, h) = (16 + (d % 16).toInt, 16 + ((d * 3) % 16).toInt)
+          val s = (for (y <- 0 until h; x <- 0 until w)
+            yield (d * 31 + x * 7 + y * 13) % 256).sum
+          assert((ft.width, ft.height, ft.n_units, ft.sum_stat) == (w, h, 1L, s))
+        case "audio" =>
+          val n = 256 + (d % 256).toInt
+          val s = (0 until n).map(i => math.abs((d * 37 + i * 101) % 65536 - 32768)).sum
+          assert((ft.width, ft.height, ft.n_units, ft.sum_stat) == (0, 0, n.toLong, s))
+        case "video" =>
+          val (w, h, nf) = (8 + (d % 8).toInt, 8 + ((d * 5) % 8).toInt, 2 + (d % 4).toInt)
+          val s = (for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+            yield (d * 31 + f * 17 + x * 7 + y * 13) % 256).sum
+          assert((ft.width, ft.height, ft.n_units, ft.sum_stat) == (w, h, nf.toLong, s))
+      }
+    }
+    // frame sampling: only video rows explode, one row per REAL frame
+    val frames = MultimodalOps.framesQuery(spark, "/root/testdata/sf0.001")
+      .as[MultimodalOps.FrameRow].collect()
+    assert(frames.map(_.doc_id).distinct.forall(_ % 3 == 2))
+    val byDoc = frames.groupBy(_.doc_id)
+    byDoc.foreach { case (d, fr) =>
+      assert(fr.length == 2 + (d % 4).toInt, s"doc $d frame count")
+    }
+    assert(frames.nonEmpty)
   }
 
   test("multimodal: REAL PNG decode inverts the deterministic encode") {
