@@ -71,6 +71,7 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => SimilarityOps.lshBucketedNeighbors(s, d)),
     "q_ann_ivf" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    "q_ann_recall" -> ((s, d) => SimilarityOps.annRecall(s, d)),
     // ---- corpus hygiene (training-data pipeline) ----
     "q_pii_redact" -> ((s, d) => CorpusOps.piiRedact(s, d)),
     "q_domain_cap" -> ((s, d) => CorpusOps.domainCap(s, d)),
@@ -374,6 +375,7 @@ object SparkEntry {
     "q_cosine_topk" -> cosineTopkOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> ivfOracle,
+    "q_ann_recall" -> annRecallOracle,
     "q_embed_neardup" -> embedNearDupOracle,
     "q_dedup_cc" -> dedupCcOracle,
 
@@ -693,6 +695,24 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
          FROM scored) WHERE rn <= 5"""
   }
+
+  /** Recall@k of IVF vs exact top-k, recomputed end to end (both CTEs
+    * are the already-verified oracles) — not a pinned constant, so a
+    * regression in nProbe/nCentroids/stride moves a NUMBER the gate
+    * checks. Recall < 1.0 happens exactly when a query's true neighbor
+    * is assigned to a cell outside the query's 2 nearest of the 16
+    * stride-sampled cells; on the isotropic synthetic embeddings that
+    * is the common case (mean ≈ 0.3 — no cluster structure to exploit),
+    * which is precisely the honest baseline the gauge should show.
+    */
+  private val annRecallOracle: String =
+    s"""WITH exact_topk AS ($cosineTopkOracle),
+       approx_topk AS ($ivfOracle)
+       SELECT e.query_id,
+              round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5, 4) AS recall_at_k
+       FROM exact_topk e LEFT JOIN approx_topk a
+         ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       GROUP BY e.query_id"""
 
   private val embedNearDupOracle: String = {
     val cosAB = s"round(${dotSql.format("ea.embedding", "eb.embedding")} / (sqrt(${dotSql.format("ea.embedding", "ea.embedding")}) * sqrt(${dotSql.format("eb.embedding", "eb.embedding")})), 6)"

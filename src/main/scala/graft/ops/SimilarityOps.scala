@@ -111,14 +111,25 @@ object SimilarityOps {
                            minCos: Double = 0.2): DataFrame = {
     val e = emb(spark, dir)
     val nPlanes = math.max(8, planesPerBand(e.count()))
-    val withBucket = e.withColumn("bucket", srpBucket(nPlanes))
-      .withColumn("n", norm(col("embedding")))
-    val l = withBucket.select(col("bucket"), col("vec_id").as("a"),
-      col("embedding").as("va"), col("n").as("na"))
-    val r = withBucket.select(col("bucket"), col("vec_id").as("b"),
-      col("embedding").as("vb"), col("n").as("nb"))
-    l.join(r, Seq("bucket"))
+    // candidate generation on BARE (bucket, id) rows: no embedding array
+    // ever crosses the self-join's exchange (the banded variant's shape,
+    // [[bandedSrpPairs]] — PlanSpec-asserted). Single band ⇒ a pair
+    // collides in at most one bucket, so no distinct is needed.
+    val buckets = e.select(col("vec_id"), srpBucket(nPlanes).as("bucket"))
+    val l = buckets.select(col("bucket"), col("vec_id").as("a"))
+    val r = buckets.select(col("bucket"), col("vec_id").as("b"))
+    val pairs = l.hint("merge").join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    // exact cosine is per surviving CANDIDATE (≪ corpus): re-join the
+    // embeddings table for both endpoints, norms computed once per side
+    val withN = e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("n"))
+    pairs
+      .join(withN.select(col("vec_id").as("a"), col("embedding").as("va"),
+        col("n").as("na")), Seq("a"))
+      .join(withN.select(col("vec_id").as("b"), col("embedding").as("vb"),
+        col("n").as("nb")), Seq("b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), col("cos"))
@@ -204,5 +215,33 @@ object SimilarityOps {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
         col("rn").cast("int").as("rn"))
+  }
+
+  /** Recall@k of the IVF index against the exact brute-force answer,
+    * one row per query — the approximation-QUALITY gauge the pair/top-k
+    * queries can't express: a bad `nProbe`/`nCentroids` regression
+    * shows up as a recall drop even while the IVF output itself stays
+    * internally consistent. Both sides use the identical rounded-cosine
+    * + neighbor-id tiebreak, so the comparison is deterministic.
+    *
+    * On the SYNTHETIC embeddings table the absolute number is modest by
+    * construction (mean ≈ 0.3 at sf0.01): 64-dim isotropic vectors have
+    * no cluster structure, so nearest-centroid cells approach random
+    * assignment and nProbe=2 of 16 cells bounds recall near the
+    * probe-fraction baseline — IVF earns its keep only on clustered
+    * real corpora. The query's value is the NUMBER: a parameter
+    * regression (nProbe, nCentroids, stride) now moves an
+    * oracle-checked value instead of silently degrading.
+    */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5,
+                nQueries: Int = 10, nCentroids: Int = 16,
+                nProbe: Int = 2): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(spark, dir, k, nQueries, nCentroids, nProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(round(sum(coalesce(col("hit"), lit(0L))) / lit(k), 4).as("recall_at_k"))
   }
 }

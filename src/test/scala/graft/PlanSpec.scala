@@ -107,6 +107,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_lsh: bucket self-join carries bare (bucket, id) rows, no embedding arrays") {
+    val q = SparkEntry.queries("q_ann_lsh")(spark, dir)
+    val p = q.queryExecution.sparkPlan
+    // candidate generation is the join keyed on the SRP bucket: neither
+    // side may shuffle an array column — embeddings re-join only for
+    // surviving candidate pairs (per-candidate work, after this join)
+    val bucketJoins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "bucket")) => j
+    }
+    assert(bucketJoins.nonEmpty, "expected a sort-merge self-join keyed on bucket")
+    bucketJoins.foreach { j =>
+      val arrays = (j.left.output ++ j.right.output)
+        .filter(_.dataType.typeName.startsWith("array"))
+      assert(arrays.isEmpty,
+        s"no embedding arrays may cross the bucket join exchange: $arrays")
+    }
+  }
+
   test("q_domain_cap: map-side partial top-k (WindowGroupLimit) before the exchange") {
     val p = plan("q_domain_cap")
     val partial = p.indexOf("WindowGroupLimit")
