@@ -61,5 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "srp_sigs(emb ARRAY<FLOAT|DOUBLE>, firstPlane INT, nPlanes INT) - one-pass SRP hyperplane sign bits") {
       SrpSigs.buildFromExprs
     }
+    inject(ext, "simhash16", 1,
+      "simhash16(text STRING) - 16-bit SimHash of the token stream as a '1'/'0' string") {
+      exprs => SimHash16(exprs.head)
+    }
   }
 }

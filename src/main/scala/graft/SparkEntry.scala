@@ -62,7 +62,7 @@ object SparkEntry {
     // ---- training-data pipeline: dedup family ----
     "q_dedup_exact" -> ((s, d) => DedupOps.exact(s, d)),
     "q_minhash_sig" -> ((s, d) => DedupOps.minhashSignatures(s, d)),
-    "q_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
+    "q_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairsShared(s, d)),
     "q_simhash" -> ((s, d) => DedupOps.simhash(s, d)),
     "q_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardDups(s, d, 0.8)),
     "q_embed_neardup" -> ((s, d) => DedupOps.embeddingNearDups(s, d)),

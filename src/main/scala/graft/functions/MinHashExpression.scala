@@ -42,16 +42,46 @@ case class MinHashSigs(child: Expression, numHashes: Int)
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column")
 
-  // the expression instance is referenced from generated code shared by
-  // every task in the stage (same JVM in local mode) — digest state must
-  // be per-thread
-  @transient private lazy val mdLocal =
+  override def nullSafeEval(input: Any): Any = {
+    val sigs = MinHashCore.sigs(input.asInstanceOf[UTF8String].toString, numHashes)
+    val out = new Array[Any](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      out(k) = UTF8String.fromString(sigs(k))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Row-local MinHash core — the ONE implementation of the signature
+  * arithmetic, shared by the Catalyst expression ([[MinHashSigs]]) and
+  * the streaming near-dup state
+  * ([[graft.streaming.StreamingExtract.nearDupVotes]]): batch LSH and
+  * the stream MUST produce identical signatures, or a recrawl deduped
+  * in one path survives the other.
+  */
+object MinHashCore {
+  // shared across tasks in one JVM → digest state must be per-thread
+  private val mdLocal =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
-  @transient private lazy val bufLocal =
+  private val bufLocal =
     ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
-  @transient private lazy val prefixes: Array[Array[Byte]] =
-    Array.tabulate(numHashes)(k => s"$k:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  @volatile private var prefixCache: (Int, Array[Array[Byte]]) = (0, Array.empty)
+  private def prefixes(k: Int): Array[Array[Byte]] = {
+    val c = prefixCache
+    if (c._1 == k) c._2
+    else {
+      val p = Array.tabulate(k)(i =>
+        s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      prefixCache = (k, p)
+      p
+    }
+  }
 
   /** Unsigned-compare key of the first 8 digest bytes; adding Long.MinValue
     * maps unsigned order onto signed Long order.
@@ -63,19 +93,22 @@ case class MinHashSigs(child: Expression, numHashes: Int)
     v + Long.MinValue
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  /** The `numHashes` minhash values as 16-hex-char strings — equal to
+    * `min over shingles of substr(md5(k || ':' || shingle), 1, 16)`.
+    */
+  def sigs(text: String, numHashes: Int): Array[String] = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val md = mdLocal.get()
     val digestBuf = bufLocal.get()
+    val pre = prefixes(numHashes)
 
     def absorb(shingle: String): Unit = {
       val sb = shingle.getBytes(utf8)
       var k = 0
       while (k < numHashes) {
         md.reset()
-        md.update(prefixes(k))
+        md.update(pre(k))
         md.update(sb)
         md.digest(digestBuf, 0, 16)
         val v = key8(digestBuf)
@@ -85,18 +118,27 @@ case class MinHashSigs(child: Expression, numHashes: Int)
     }
 
     Shingling.foreach(text)(absorb)
-
-    val out = new Array[Any](numHashes)
-    var k = 0
-    while (k < numHashes) {
-      out(k) = UTF8String.fromString(f"${mins(k) - Long.MinValue}%016x")
-      k += 1
-    }
-    new GenericArrayData(out)
+    Array.tabulate(numHashes)(k => f"${mins(k) - Long.MinValue}%016x")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  /** Exact word-3-gram Jaccard of two texts — the row-local form of
+    * [[ShingleJaccard]] (same shingling, same formula), used by the
+    * streaming near-dup verification.
+    */
+  def shingleJaccard(a: String, b: String): Double = {
+    def shingleSet(text: String): java.util.HashSet[String] = {
+      val set = new java.util.HashSet[String]()
+      Shingling.foreach(text)(s => { set.add(s); () })
+      set
+    }
+    val sa = shingleSet(a)
+    val sb = shingleSet(b)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
 }
 
 /** The ONE word-3-gram shingling rule, shared by LSH candidate

@@ -31,21 +31,9 @@ case class ShingleJaccard(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires two string columns")
 
-  private def shingleSet(text: String): java.util.HashSet[String] = {
-    val set = new java.util.HashSet[String]()
-    Shingling.foreach(text)(s => { set.add(s); () })
-    set
-  }
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val sa = shingleSet(l.asInstanceOf[UTF8String].toString)
-    val sb = shingleSet(r.asInstanceOf[UTF8String].toString)
-    var inter = 0
-    val it = sa.iterator()
-    while (it.hasNext) if (sb.contains(it.next())) inter += 1
-    val union = sa.size + sb.size - inter
-    if (union == 0) 0.0 else inter.toDouble / union
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    MinHashCore.shingleJaccard(l.asInstanceOf[UTF8String].toString,
+      r.asInstanceOf[UTF8String].toString)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =

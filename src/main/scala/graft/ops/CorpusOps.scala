@@ -126,15 +126,24 @@ object CorpusOps {
     * explode + broadcast semi-join + hash aggregation, linear in corpus
     * size. Output: (doc_id, n_shared) per contaminated doc.
     */
-  def decontaminate(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val d = docs(spark, dir)
+  def decontaminate(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    decontaminateOf(spark, dir,
+      docs(spark, dir).filter(col("doc_id") % 11 =!= 0), k)
+
+  /** [[decontaminate]] with the TRAINING side supplied by the caller
+    * (the incremental-resume hook); the benchmark reference slice is
+    * always the full `doc_id % 11 == 0` cut of the corpus at `dir`.
+    */
+  private def decontaminateOf(spark: SparkSession, dir: String,
+                              training: DataFrame, k: Int = 5): DataFrame = {
     // filter BEFORE explode on both sides: the benchmark slice explodes
     // ~1/11 of the corpus, and neither side shingles the other's docs
-    def grams(cond: Column) = d.filter(cond)
+    def grams(d: DataFrame) = d
       .select(col("doc_id"), split(col("text"), " ").as("ws"), col("text"))
       .select(col("doc_id"), explode(wordGrams(col("ws"), col("text"), k)).as("gram"))
-    val bench = grams(col("doc_id") % 11 === 0).select(col("gram")).distinct()
-    grams(col("doc_id") % 11 =!= 0)
+    val bench = grams(docs(spark, dir).filter(col("doc_id") % 11 === 0))
+      .select(col("gram")).distinct()
+    grams(training)
       .join(broadcast(bench), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared"))
@@ -147,8 +156,13 @@ object CorpusOps {
     * with map-side partials — no windows, no per-doc collect.
     */
   def repetitionStats(spark: SparkSession, dir: String,
-                      docFilter: Column = lit(true)): DataFrame = {
-    val d = docs(spark, dir).filter(docFilter)
+                      docFilter: Column = lit(true)): DataFrame =
+    repetitionStatsOf(docs(spark, dir).filter(docFilter))
+
+  /** [[repetitionStats]] over a caller-supplied docs table (the
+    * incremental-resume hook).
+    */
+  private def repetitionStatsOf(d: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     // the 2M-row bigram aggregation keys on (doc_id, bg) only; the cheap
     // per-doc word stats (one row per doc) join back afterwards instead
@@ -190,18 +204,30 @@ object CorpusOps {
     * two words cannot be repetitive), contamination as presence in the
     * decontaminate output.
     */
-  def filterPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir)
-      .filter(col("doc_id") % 11 =!= 0)
+  def filterPipeline(spark: SparkSession, dir: String): DataFrame =
+    filterPipelineScoped(spark, dir, identity)
+
+  /** [[filterPipeline]] with `scope` restricting the TRAINING-side docs
+    * every signal computes over — the incremental-resume hook: a
+    * resumed run anti-joins the committed keys here, so
+    * already-decided documents never pay language-ID, quality, the
+    * bigram explode, or the decontamination semi-join again. The
+    * benchmark reference slice is never scoped (decontamination must
+    * always compare against the full held-out set).
+    */
+  private def filterPipelineScoped(spark: SparkSession, dir: String,
+                                   scope: DataFrame => DataFrame): DataFrame = {
+    // the benchmark slice never survives the join with `base` — filter
+    // it BEFORE the bigram explode instead of discarding its aggregated
+    // rows afterwards (decontaminateOf already takes the training cut)
+    val training = scope(docs(spark, dir).filter(col("doc_id") % 11 =!= 0))
+    val base = training
       .select(col("doc_id"),
         (TextAnalysisOps.predictedLangCol(col("text")) === "en").as("lang_ok"),
         TextAnalysisOps.qualityOkCol(col("text")).as("quality_ok"))
-    // the benchmark slice never survives the join with `base` — filter
-    // it BEFORE the bigram explode instead of discarding its aggregated
-    // rows afterwards (decontaminate already excludes it output-side)
-    val rep = repetitionStats(spark, dir, col("doc_id") % 11 =!= 0)
+    val rep = repetitionStatsOf(training)
       .select(col("doc_id"), col("repetition_ok"))
-    val cont = decontaminate(spark, dir)
+    val cont = decontaminateOf(spark, dir, training)
       .select(col("doc_id"), lit(true).as("contaminated"))
     base
       .join(rep, Seq("doc_id"), "left")
@@ -212,5 +238,22 @@ object CorpusOps {
       .withColumn("keep",
         col("lang_ok") && col("quality_ok") && col("repetition_ok") &&
           col("decontam_ok"))
+  }
+
+  /** End-to-end RESUMABLE filtered-corpus materialization — the batch
+    * face of the streaming incremental extract and the same snapshot +
+    * manifest resume contract as [[graft.pipeline.TableIO.resumeExtract]]
+    * (north rule): the keep/drop DECISION table (one row per training
+    * doc, kept or not — committing drops too is what lets a resume skip
+    * them) is appended as a snapshot, and a re-run anti-joins the
+    * committed doc_ids BEFORE any signal computes, so only new
+    * documents pay the pipeline. Returns the rows committed by THIS
+    * run; the filtered corpus is `readTable(...).filter(col("keep"))`.
+    */
+  def filterPipelineIncremental(spark: SparkSession, dir: String,
+                                tableRoot: String): Long = {
+    val io = new graft.pipeline.TableIO(tableRoot)
+    val decisions = filterPipelineScoped(spark, dir, d => io.pending(d, "doc_id"))
+    io.appendSnapshot(decisions).rows
   }
 }

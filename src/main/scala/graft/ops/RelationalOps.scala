@@ -229,7 +229,7 @@ object RelationalOps {
     * regenerated corpus at the same path invalidates the derived copy
     * across JVMs instead of silently serving stale data.
     */
-  private def layoutTag(spark: SparkSession, dir: String, name: String): String = {
+  private[ops] def layoutTag(spark: SparkSession, dir: String, name: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength

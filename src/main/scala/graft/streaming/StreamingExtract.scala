@@ -149,6 +149,102 @@ object StreamingExtract {
       }
   }
 
+  /** MinHash band keys of a text — the SAME banding as the batch LSH
+    * family ([[graft.ops.DedupOps.minhashBands]]: 8 hashes, 4 bands of
+    * 2, band key = md5 of the '|'-joined 16-hex signatures), via the
+    * shared [[graft.functions.MinHashCore]], so batch and stream agree
+    * on what "candidate near-duplicate" means. The band index prefixes
+    * the key (bands are independent hash tables).
+    */
+  def minhashBandKeys(text: String): Seq[String] = {
+    val sigs = graft.functions.MinHashCore.sigs(text, graft.ops.DedupOps.NumHashes)
+    sigs.grouped(graft.ops.DedupOps.BandSize).zipWithIndex.map { case (g, b) =>
+      b + ":" + org.apache.commons.codec.digest.DigestUtils.md5Hex(g.mkString("|"))
+    }.toSeq
+  }
+
+  /** Streaming NEAR-duplicate dedup — the streaming face of the batch
+    * MinHash-LSH → verify family: each extracted document explodes into
+    * its [[minhashBandKeys]], per-band state holds the texts already
+    * seen in that bucket, and a document whose bucket contains a text
+    * with word-3-gram Jaccard >= `jaccardMin` is voted a duplicate in
+    * that band (colliding in ANY band suppresses — assemble with
+    * [[runNearDupDedupAvailableNow]]). State is cross-batch and
+    * cross-restart (checkpoint-backed; RocksDB-shaped at crawl scale,
+    * partitioned by band key), per-bucket reps are occupancy-capped at
+    * `maxBucketReps` (the batch family's bounded-bucket rule), and
+    * within a batch group documents apply in url order, so the output
+    * is deterministic under any arrival order.
+    *
+    * Like the batch connected-components attribution, a document
+    * suppressed via one band still registers as a representative in its
+    * OTHER bands: later documents similar to it dedup against the whole
+    * near-dup cluster, not only against emitted survivors.
+    */
+  def nearDupVotes(pages: Dataset[PageRow], charset: String = "utf-8",
+                   jaccardMin: Double = 0.8, maxBucketReps: Int = 32)
+      : Dataset[(graft.pipeline.ExtractedDoc, Boolean)] = {
+    import pages.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    pages
+      .mapPartitions(it => it.map(p => ExtractPipeline.extractOne(p, charset)))
+      .flatMap(d => minhashBandKeys(d.text).map(bk => (bk, d)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(String, String)],
+        (graft.pipeline.ExtractedDoc, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, graft.pipeline.ExtractedDoc)],
+         state: GroupState[List[(String, String)]]) =>
+          var reps = state.getOption.getOrElse(List.empty[(String, String)])
+          val out = rows.map(_._2).toSeq.sortBy(_.url).map { d =>
+            // url self-guard: a doc whose bands collide (same key twice)
+            // must not verify against its own stored text
+            val dup = reps.exists { case (u, t) =>
+              u != d.url &&
+                graft.functions.MinHashCore.shingleJaccard(t, d.text) >= jaccardMin
+            }
+            if (!dup && reps.size < maxBucketReps && !reps.exists(_._1 == d.url))
+              reps = reps :+ ((d.url, d.text))
+            (d, dup)
+          }
+          state.update(reps)
+          out.iterator
+      }
+  }
+
+  /** Incremental extraction with cross-batch NEAR-dup dedup: band votes
+    * from [[nearDupVotes]] are assembled per document inside
+    * `foreachBatch` (a plain batch aggregation — chaining a second
+    * stateful operator is unnecessary because a document's votes all
+    * land in the same micro-batch) and only documents no band flagged
+    * are appended to the sink.
+    */
+  def runNearDupDedupAvailableNow(spark: SparkSession, sourceDir: String,
+                                  sinkDir: String, checkpointDir: String,
+                                  charset: String = "utf-8",
+                                  jaccardMin: Double = 0.8): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val pages = spark.readStream
+      .schema(pageSchema)
+      .parquet(sourceDir)
+      .as[PageRow]
+    val votes = nearDupVotes(pages, charset, jaccardMin).toDF("doc", "dup")
+    val q: StreamingQuery = votes.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.groupBy(col("doc"))
+          .agg(smax(col("dup")).as("dup"))
+          .filter(!col("dup"))
+          .select(col("doc.*"))
+          .write.mode("append").parquet(sinkDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Windowed per-language extraction-rate metrics over the stream —
     * watermark + tumbling window aggregation (the streaming metrics
     * analog of the per-partition lineage rows).

@@ -78,4 +78,35 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       check(pairs)
     }
   }
+
+  test("fractional ids are never truncated: distinct doubles stay distinct nodes") {
+    import spark.implicits._
+    // under a cast-to-long label loop, 1.2 and 1.7 would collapse into
+    // node 1; the dispatch must route non-integral numerics to the
+    // type-generic star path instead
+    val pairs = Seq((1.2, 1.7), (3.1, 3.9)).toDF("a", "b")
+    val got = graft.ops.DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1.2 -> 1.2, 1.7 -> 1.2, 3.1 -> 3.1, 3.9 -> 3.1))
+  }
+
+  test("shared LSH pair cache serves one materialization and invalidates on rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sharedpairs").toString
+    def write(texts: Seq[String]): Unit =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    write(Seq(dup, dup, "totally different words in this one right here"))
+    val df1 = graft.ops.DedupOps.minhashLshPairsShared(spark, dir)
+    assert(df1.collect().map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
+    // unchanged corpus → the SAME persisted instance is served
+    assert(graft.ops.DedupOps.minhashLshPairsShared(spark, dir) eq df1)
+    // regenerated corpus at the same path (different file status) must
+    // recompute, not serve the stale pair set
+    write(Seq("a b c d e f g h", "i j k l m n o p", "q r s t u v w x"))
+    val df2 = graft.ops.DedupOps.minhashLshPairsShared(spark, dir)
+    assert(!(df2 eq df1) && df2.collect().isEmpty)
+  }
 }

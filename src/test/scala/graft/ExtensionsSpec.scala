@@ -29,13 +29,15 @@ class ExtensionsSpec extends AnyFunSuite {
                        array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
                size(minhash_sigs('a b c d e', 8)) AS k,
                shingle_jaccard('a b c d', 'a b c d') AS j,
-               length(srp_sigs(array_repeat(CAST(0.5 AS FLOAT), 64), 0, 8)) AS s""").head()
+               length(srp_sigs(array_repeat(CAST(0.5 AS FLOAT), 64), 0, 8)) AS s,
+               length(simhash16('a b c')) AS sh""").head()
       assert(row.getAs[String]("t").contains("Hello extension world"))
       assert(row.getAs[String]("n") == "METRICA")
       assert(row.getAs[Double]("d") == 11.0)
       assert(row.getAs[Int]("k") == 8)
       assert(row.getAs[Double]("j") == 1.0)
       assert(row.getAs[Int]("s") == 8)
+      assert(row.getAs[Int]("sh") == 16)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

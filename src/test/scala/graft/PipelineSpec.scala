@@ -76,6 +76,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.count(!_.parse_ok) == 1)
   }
 
+  test("filter pipeline resume: committed decisions are skipped, table converges to one-shot") {
+    import org.apache.spark.sql.functions.col
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-filter-inc").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-filter-docs").toString
+    // phase 1: a partial crawl — half the training docs, but the FULL
+    // benchmark slice (the decontamination reference is held-out data
+    // that exists before the crawl grows)
+    src.filter(col("doc_id") < 250 || col("doc_id") % 11 === 0)
+      .write.parquet(s"$dir/documents.parquet")
+    val n1 = graft.ops.CorpusOps.filterPipelineIncremental(spark, dir, root)
+    assert(n1 > 0)
+    // phase 2: the rest of the corpus arrives — only NEW docs are decided
+    src.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val n2 = graft.ops.CorpusOps.filterPipelineIncremental(spark, dir, root)
+    // idempotent: a third run commits nothing
+    val n3 = graft.ops.CorpusOps.filterPipelineIncremental(spark, dir, root)
+    assert(n3 == 0)
+    // the resumed table is row-identical to a fresh one-shot decision run
+    val oneShot = graft.ops.CorpusOps.filterPipeline(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(n1 + n2 == oneShot.size)
+    val resumedTable = new TableIO(root).readTable(spark).get
+      .select("doc_id", "lang_ok", "quality_ok", "repetition_ok", "decontam_ok", "keep")
+      .collect().map(_.toString).sorted.toSeq
+    assert(resumedTable == oneShot)
+  }
+
   test("TableIO resume: partial commit + rerun converges to identical full table") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-tableio").toString

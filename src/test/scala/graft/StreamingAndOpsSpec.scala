@@ -94,6 +94,59 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     assert(out2.select("url").distinct().count() == 6)
   }
 
+  test("streaming near-dup dedup: MinHash-band recrawls suppressed across batches") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-neardup-stream").toString
+    val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    def page(url: String, text: String) = graft.pipeline.PageRow(url,
+      new java.sql.Timestamp(1577836800000L),
+      s"<html><body><main><p>$text</p></main></body></html>"
+        .getBytes("UTF-8"), "", "en")
+    val words = (1 to 60).map(i => s"word$i")
+    val baseText = words.mkString(" ")
+    val nearA = words.updated(59, "changedA").mkString(" ") // in-batch near-dup
+    val nearB = words.updated(0, "changedB").mkString(" ")  // cross-batch recrawl
+    val other = (1 to 60).map(i => s"unrelated$i").mkString(" ")
+    val fresh = (1 to 60).map(i => s"fresh$i").mkString(" ")
+
+    // precondition: on the EXTRACTED texts, the crafted near-dups are
+    // true LSH candidates (≥1 shared band) that verify above 0.8 —
+    // otherwise the e2e assertions would test nothing
+    def extracted(t: String) = graft.pipeline.ExtractPipeline
+      .extractOne(page("u", t), "utf-8").text
+    val (eBase, eA, eB) = (extracted(baseText), extracted(nearA), extracted(nearB))
+    import graft.functions.MinHashCore.shingleJaccard
+    assert(shingleJaccard(eBase, eA) >= 0.8 && shingleJaccard(eBase, eB) >= 0.8)
+    assert(StreamingExtract.minhashBandKeys(eBase)
+      .intersect(StreamingExtract.minhashBandKeys(eA)).nonEmpty, "A must collide")
+    assert(StreamingExtract.minhashBandKeys(eBase)
+      .intersect(StreamingExtract.minhashBandKeys(eB)).nonEmpty, "B must collide")
+
+    // batch 1: base + its in-batch near-dup + an unrelated doc
+    spark.createDataset(Seq(
+      page("https://a.example/1", baseText),
+      page("https://a.example/2", nearA),
+      page("https://a.example/3", other)))
+      .write.mode("append").parquet(src)
+    StreamingExtract.runNearDupDedupAvailableNow(spark, src, sink, ckpt)
+    val out1 = spark.read.parquet(sink)
+    assert(out1.count() == 2, "in-batch near-dup must be suppressed")
+    assert(out1.select("url").as[String].collect().toSet ==
+      Set("https://a.example/1", "https://a.example/3"),
+      "url order decides the in-batch winner")
+
+    // batch 2: a near-dup RECRAWL of batch-1 content under a new url is
+    // suppressed via the checkpointed band state; a fresh doc is emitted
+    spark.createDataset(Seq(
+      page("https://b.example/9", nearB),
+      page("https://b.example/8", fresh)))
+      .write.mode("append").parquet(src)
+    StreamingExtract.runNearDupDedupAvailableNow(spark, src, sink, ckpt)
+    val out2 = spark.read.parquet(sink)
+    assert(out2.count() == 3, "cross-batch near-dup recrawl must be suppressed")
+    assert(out2.filter(col("url") === "https://b.example/9").isEmpty)
+  }
+
   test("content fingerprint: non-ASCII text falls back to exact identity, never collapses") {
     import graft.streaming.StreamingExtract.contentFingerprint
     // two DIFFERENT CJK texts must get different keys (the ASCII

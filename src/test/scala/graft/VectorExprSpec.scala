@@ -120,6 +120,39 @@ class VectorExprSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash16 == exploded md5-vote aggregation, corpus and edge strings") {
+    import spark.implicits._
+    // full corpus parity: the ops-level pair must agree doc for doc
+    val dir = "/root/testdata/sf0.001"
+    val native = graft.ops.DedupOps.simhash(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ref = graft.ops.DedupOps.simhashCompositional(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native.size == 500 && native == ref)
+
+    // edge strings: empties from split (leading/trailing/double spaces),
+    // single token, unicode, vote ties (sum == 0 must emit '1')
+    val texts = Seq("", " ", "  ", "a", "a b", " a  b ", "ação é ação",
+      ("x " * 50).trim)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val tokens = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until 16).map { i =>
+      sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    val agg = tokens.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 16).map(i => when(col(s"v$i") >= 0, "1").otherwise("0"))
+    val refEdge = agg.select(col("doc_id"), concat(bits: _*).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gotEdge = d.select(col("doc_id"),
+      graft.functions.SimHashFunctions.simhash16(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    refEdge.foreach { case (id, sig) =>
+      assert(gotEdge(id) == sig, s"doc $id (${texts(id.toInt)})")
+    }
+  }
+
   test("ShingleJaccard == array_intersect/array_union distinct form") {
     import spark.implicits._
     val pairs = Seq(
