@@ -71,17 +71,14 @@ object MinHashCore {
       java.security.MessageDigest.getInstance("MD5"))
   private val bufLocal =
     ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
-  @volatile private var prefixCache: (Int, Array[Array[Byte]]) = (0, Array.empty)
-  private def prefixes(k: Int): Array[Array[Byte]] = {
-    val c = prefixCache
-    if (c._1 == k) c._2
-    else {
-      val p = Array.tabulate(k)(i =>
-        s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      prefixCache = (k, p)
-      p
-    }
-  }
+  // keyed by k, not a single slot: two signature families in one query
+  // (e.g. minhash_sigs(text, 8) and minhash_sigs(text, 16) in one
+  // projection) must not thrash-rebuild the table per row
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Byte]]]()
+  private def prefixes(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k, kk => Array.tabulate(kk)(i =>
+      s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   /** Unsigned-compare key of the first 8 digest bytes; adding Long.MinValue
     * maps unsigned order onto signed Long order.

@@ -554,10 +554,12 @@ object MstrJoinPipeline {
     // materialize eagerly; callers get the cached result
     prof("assembly planned")
     if (sys.env.get("GRAFT_JOIN_PROF").contains("1")) {
-      // prof-only sub-splits of the assembly job (extra jobs, so gated)
-      factFrags.persist()
+      // prof-only sub-splits of the assembly job (extra jobs, so gated);
+      // the prof persists ride the same end-of-run cleanup as the
+      // stage caches
+      persisted += factFrags.persist()
       prof(s"  factFrags: ${factFrags.count()} rows")
-      allFrags.persist()
+      persisted += allFrags.persist()
       prof(s"  allFrags: ${allFrags.count()} rows")
       prof(s"  assembled rdd: ${assembled.count()} rows")
     }

@@ -254,6 +254,12 @@ object CorpusOps {
                                 tableRoot: String): Long = {
     val io = new graft.pipeline.TableIO(tableRoot)
     val decisions = filterPipelineScoped(spark, dir, d => io.pending(d, "doc_id"))
-    io.appendSnapshot(decisions).rows
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // a no-op resume must not grow the manifest by an empty snapshot
+      // per run (the emptiness probe rides the cache the append reuses)
+      if (decisions.isEmpty) 0L
+      else io.appendSnapshot(decisions).rows
+    } finally decisions.unpersist(blocking = false)
   }
 }

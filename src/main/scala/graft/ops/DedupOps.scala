@@ -75,8 +75,13 @@ object DedupOps {
     * to an uncached [[minhashLshPairs]] call.
     */
   def minhashLshPairsShared(spark: SparkSession, dir: String): DataFrame = {
-    val ctx = System.identityHashCode(spark.sparkContext)
-    val dirKey = s"$ctx:$dir"
+    // applicationId is unique per SparkContext (identityHashCode is not:
+    // a new context can collide with a GC'd one and serve a DataFrame
+    // bound to a stopped context); entries of dead contexts are dropped
+    // on the way in so a long-lived service never pins stale plans
+    sharedPairsCache.entrySet().removeIf(
+      e => e.getValue._2.sparkSession.sparkContext.isStopped)
+    val dirKey = s"${spark.sparkContext.applicationId}:$dir"
     val tag = RelationalOps.layoutTag(spark, dir, "documents")
     sharedPairsCache.compute(dirKey, (_, prev) => {
       if (prev != null && prev._1 == tag) prev

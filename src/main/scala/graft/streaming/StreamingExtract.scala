@@ -196,14 +196,17 @@ object StreamingExtract {
         (_: String, rows: Iterator[(String, graft.pipeline.ExtractedDoc)],
          state: GroupState[List[(String, String)]]) =>
           var reps = state.getOption.getOrElse(List.empty[(String, String)])
+          // no url self-guard is needed (a doc meets each group exactly
+          // once — band keys are index-prefixed) and none is WANTED: a
+          // same-url recrawl carrying near-identical content is a
+          // duplicate exactly like a mirror url is (batch LSH pairs
+          // docs regardless of url), so it must verify against the
+          // url's own earlier text and be suppressed
           val out = rows.map(_._2).toSeq.sortBy(_.url).map { d =>
-            // url self-guard: a doc whose bands collide (same key twice)
-            // must not verify against its own stored text
-            val dup = reps.exists { case (u, t) =>
-              u != d.url &&
-                graft.functions.MinHashCore.shingleJaccard(t, d.text) >= jaccardMin
+            val dup = reps.exists { case (_, t) =>
+              graft.functions.MinHashCore.shingleJaccard(t, d.text) >= jaccardMin
             }
-            if (!dup && reps.size < maxBucketReps && !reps.exists(_._1 == d.url))
+            if (!dup && reps.size < maxBucketReps)
               reps = reps :+ ((d.url, d.text))
             (d, dup)
           }

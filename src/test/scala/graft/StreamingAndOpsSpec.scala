@@ -107,6 +107,7 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     val nearA = words.updated(59, "changedA").mkString(" ") // in-batch near-dup
     val nearB = words.updated(0, "changedB").mkString(" ")  // cross-batch recrawl
     val other = (1 to 60).map(i => s"unrelated$i").mkString(" ")
+    val otherRecrawl = ((1 to 59).map(i => s"unrelated$i") :+ "editedtail").mkString(" ")
     val fresh = (1 to 60).map(i => s"fresh$i").mkString(" ")
 
     // precondition: on the EXTRACTED texts, the crafted near-dups are
@@ -115,12 +116,16 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     def extracted(t: String) = graft.pipeline.ExtractPipeline
       .extractOne(page("u", t), "utf-8").text
     val (eBase, eA, eB) = (extracted(baseText), extracted(nearA), extracted(nearB))
+    val (eOther, eOtherRe) = (extracted(other), extracted(otherRecrawl))
     import graft.functions.MinHashCore.shingleJaccard
     assert(shingleJaccard(eBase, eA) >= 0.8 && shingleJaccard(eBase, eB) >= 0.8)
+    assert(shingleJaccard(eOther, eOtherRe) >= 0.8)
     assert(StreamingExtract.minhashBandKeys(eBase)
       .intersect(StreamingExtract.minhashBandKeys(eA)).nonEmpty, "A must collide")
     assert(StreamingExtract.minhashBandKeys(eBase)
       .intersect(StreamingExtract.minhashBandKeys(eB)).nonEmpty, "B must collide")
+    assert(StreamingExtract.minhashBandKeys(eOther)
+      .intersect(StreamingExtract.minhashBandKeys(eOtherRe)).nonEmpty, "recrawl must collide")
 
     // batch 1: base + its in-batch near-dup + an unrelated doc
     spark.createDataset(Seq(
@@ -135,16 +140,20 @@ class StreamingAndOpsSpec extends AnyFunSuite {
       Set("https://a.example/1", "https://a.example/3"),
       "url order decides the in-batch winner")
 
-    // batch 2: a near-dup RECRAWL of batch-1 content under a new url is
+    // batch 2: a near-dup RECRAWL of batch-1 content under a new url AND
+    // a near-dup recrawl of batch-1 content under the SAME url are both
     // suppressed via the checkpointed band state; a fresh doc is emitted
     spark.createDataset(Seq(
       page("https://b.example/9", nearB),
+      page("https://a.example/3", otherRecrawl), // same url, edited tail
       page("https://b.example/8", fresh)))
       .write.mode("append").parquet(src)
     StreamingExtract.runNearDupDedupAvailableNow(spark, src, sink, ckpt)
     val out2 = spark.read.parquet(sink)
-    assert(out2.count() == 3, "cross-batch near-dup recrawl must be suppressed")
+    assert(out2.count() == 3, "cross-batch near-dup recrawls must be suppressed")
     assert(out2.filter(col("url") === "https://b.example/9").isEmpty)
+    assert(out2.filter(col("url") === "https://a.example/3").count() == 1,
+      "a same-url near-identical recrawl must not append a second row")
   }
 
   test("content fingerprint: non-ASCII text falls back to exact identity, never collapses") {
