@@ -109,6 +109,17 @@ object MstrJoinPipeline {
         new java.io.ByteArrayInputStream(f.blob)).readObject()
   }
 
+  /** Executor-side index handle: ships the raw index HTML and parses
+    * it once per executor JVM on first use (@transient lazy — the
+    * broadcast caches one deserialized instance per executor, so the
+    * parse runs once there and never again).
+    */
+  final class IndexHandle(indexHtml: Map[String, String], lang: String)
+      extends Serializable {
+    @transient lazy val indexes: MstrIndexes =
+      MstrPipeline.buildIndexes(indexHtml, MstrLocale.forLang(lang))
+  }
+
   private def fileName(url: String): String = url.substring(url.lastIndexOf('/') + 1)
   private def filePathOf(l: LinkResult): String =
     if (l.anchor.nonEmpty) s"${l.file}#${l.anchor}" else l.file
@@ -190,8 +201,15 @@ object MstrJoinPipeline {
           f"JOINPROF $tag at ${(System.nanoTime() - profT0) / 1e9}%.2f s")
       else _ => ()
 
+    // the driver parses the indexes once for PLANNING (the documento
+    // work list + selection); executors get the RAW index html instead:
+    // strings java-serialize ~20× faster than the parsed half-million
+    // LinkResult objects (measured 2.0 s vs 0.1 s broadcast write at
+    // 50k reports), and each executor JVM parses once, lazily, on its
+    // first stage task — trading ~0.3 s of parallel per-executor parse
+    // for ~2 s of serial driver serialization
     val indexes = MstrPipeline.buildIndexes(indexHtml, loc)
-    val bIdx = spark.sparkContext.broadcast(indexes)
+    val bIdx = spark.sparkContext.broadcast(new IndexHandle(indexHtml, lang))
     prof("indexes-built")
 
     // The staged passes run on the RDD layer deliberately: every stage
@@ -241,7 +259,7 @@ object MstrJoinPipeline {
         else pIt.flatMap { case (file, (_, html)) =>
           val rs = byFile.get(file)
           if (rs == null) Nil
-          else f(Soup.parse(TextOps.decodeLatin1(html)), bIdx.value, rs.toSeq)
+          else f(Soup.parse(TextOps.decodeLatin1(html)), bIdx.value.indexes, rs.toSeq)
         }
       }
     }

@@ -213,6 +213,20 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     val overrun = good.clone
     overrun(4) = -1; overrun(5) = -1 // riffSize huge; later chunks overrun
     assert(MultimodalOps.parseAvi(overrun.take(64)).isEmpty)
+    // fuzz: random truncations and byte flips of valid containers must
+    // return Some or None, never throw (deterministic seed)
+    val rnd = new scala.util.Random(123)
+    (1 to 300).foreach { _ =>
+      val src = MultimodalOps.genAvi(rnd.nextInt(64).toLong)
+      val mutated = src.clone
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      val cut =
+        if (rnd.nextBoolean()) mutated.take(rnd.nextInt(mutated.length + 1))
+        else mutated
+      MultimodalOps.parseAvi(cut) // must not throw
+    }
   }
 
   test("multimodal: unified decode dispatches all three REAL codecs by kind") {
