@@ -208,8 +208,12 @@ object MstrJoinPipeline {
     // 50k reports), and each executor JVM parses once, lazily, on its
     // first stage task — trading ~0.3 s of parallel per-executor parse
     // for ~2 s of serial driver serialization
-    val indexes = MstrPipeline.buildIndexes(indexHtml, loc)
-    val bIdx = spark.sparkContext.broadcast(new IndexHandle(indexHtml, lang))
+    // planning reads THROUGH the handle: in local mode the broadcast
+    // returns this same instance, so its lazy parse serves both the
+    // driver's planning and every stage task — one parse, not two
+    val handle = new IndexHandle(indexHtml, lang)
+    val indexes = handle.indexes
+    val bIdx = spark.sparkContext.broadcast(handle)
     prof("indexes-built")
 
     // The staged passes run on the RDD layer deliberately: every stage

@@ -433,7 +433,12 @@ object MultimodalOps {
       var h = -1
       var dibOk = false
       val frames = Seq.newBuilder[Long]
-      def walk(listEnd: Int): Unit =
+      def walk(listEnd: Int, depth: Int): Unit = {
+        // legitimate AVI nesting is 3 deep (RIFF > hdrl > strl); a
+        // crafted payload of recursive LIST headers must hit this bound
+        // (caught → row drops), not a StackOverflowError, which is
+        // fatal and would escape the NonFatal catch
+        require(depth <= 8, "over-nested RIFF lists")
         while (bb.position() < listEnd) {
           val id = fcc()
           val sz = bb.getInt
@@ -443,7 +448,8 @@ object MultimodalOps {
           id match {
             case "LIST" =>
               val ltype = fcc()
-              if (ltype == "hdrl" || ltype == "strl" || ltype == "movi") walk(next)
+              if (ltype == "hdrl" || ltype == "strl" || ltype == "movi")
+                walk(next, depth + 1)
               else bb.position(next)
             case "strf" =>
               bb.getInt // biSize
@@ -477,7 +483,8 @@ object MultimodalOps {
             case _ => bb.position(next)
           }
         }
-      walk(end)
+      }
+      walk(end, 1)
       val fs = frames.result()
       if (dibOk && fs.nonEmpty) Some((w, h, fs)) else None
     } catch { case NonFatal(_) => None }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.pipeline.{ExtractPipeline, PageRow}
 import org.apache.spark.sql.{Dataset, SparkSession}
+import scala.collection.mutable
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
@@ -196,19 +197,37 @@ object StreamingExtract {
         (_: String, rows: Iterator[(String, graft.pipeline.ExtractedDoc)],
          state: GroupState[List[(String, String)]]) =>
           var reps = state.getOption.getOrElse(List.empty[(String, String)])
-          // no url self-guard is needed (a doc meets each group exactly
-          // once — band keys are index-prefixed) and none is WANTED: a
-          // same-url recrawl carrying near-identical content is a
-          // duplicate exactly like a mirror url is (batch LSH pairs
-          // docs regardless of url), so it must verify against the
-          // url's own earlier text and be suppressed
-          val out = rows.map(_._2).toSeq.sortBy(_.url).map { d =>
-            val dup = reps.exists { case (_, t) =>
-              graft.functions.MinHashCore.shingleJaccard(t, d.text) >= jaccardMin
+          // deterministic total order: (url, text) — url alone ties on
+          // same-url in-batch pairs, and a tie decided by shuffle
+          // arrival order could flag a different winner per band (both
+          // copies then suppressed by the per-doc max-vote)
+          val sorted = rows.map(_._2).toSeq.sortBy(d => (d.url, d.text))
+          // byte-identical in-batch copies of one doc collapse to ONE
+          // vote row here: they are the same document (foreachBatch
+          // groups them together), so a second row voting dup=true
+          // against the first's just-stored text would suppress BOTH
+          // copies — zero emissions instead of one
+          val seenHere = mutable.Set.empty[(String, String)]
+          val out = sorted.flatMap { d =>
+            if (!seenHere.add((d.url, d.text))) None
+            else {
+              // no url self-exemption: a recrawl carrying near-identical
+              // content is a duplicate exactly like a mirror url is
+              // (batch LSH pairs docs regardless of url)
+              val dup = reps.exists { case (_, t) =>
+                graft.functions.MinHashCore.shingleJaccard(t, d.text) >= jaccardMin
+              }
+              if (!dup) {
+                // one rep slot per url: drifted (non-dup) recrawls
+                // REPLACE the url's stored text instead of accumulating
+                // stale versions that starve other urls of the
+                // occupancy-capped slots
+                val i = reps.indexWhere(_._1 == d.url)
+                if (i >= 0) reps = reps.updated(i, (d.url, d.text))
+                else if (reps.size < maxBucketReps) reps = reps :+ ((d.url, d.text))
+              }
+              Some((d, dup))
             }
-            if (!dup && reps.size < maxBucketReps)
-              reps = reps :+ ((d.url, d.text))
-            (d, dup)
           }
           state.update(reps)
           out.iterator

@@ -127,10 +127,13 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     assert(StreamingExtract.minhashBandKeys(eOther)
       .intersect(StreamingExtract.minhashBandKeys(eOtherRe)).nonEmpty, "recrawl must collide")
 
-    // batch 1: base + its in-batch near-dup + an unrelated doc
+    // batch 1: base + its in-batch near-dup + an unrelated doc, the
+    // latter delivered TWICE (at-least-once upstream): byte-identical
+    // in-batch copies must collapse to ONE emitted row, never zero
     spark.createDataset(Seq(
       page("https://a.example/1", baseText),
       page("https://a.example/2", nearA),
+      page("https://a.example/3", other),
       page("https://a.example/3", other)))
       .write.mode("append").parquet(src)
     StreamingExtract.runNearDupDedupAvailableNow(spark, src, sink, ckpt)
@@ -138,7 +141,7 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     assert(out1.count() == 2, "in-batch near-dup must be suppressed")
     assert(out1.select("url").as[String].collect().toSet ==
       Set("https://a.example/1", "https://a.example/3"),
-      "url order decides the in-batch winner")
+      "url order decides the in-batch winner; a doubled identical row still emits once")
 
     // batch 2: a near-dup RECRAWL of batch-1 content under a new url AND
     // a near-dup recrawl of batch-1 content under the SAME url are both
@@ -213,6 +216,19 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     val overrun = good.clone
     overrun(4) = -1; overrun(5) = -1 // riffSize huge; later chunks overrun
     assert(MultimodalOps.parseAvi(overrun.take(64)).isEmpty)
+    // adversarial nesting: ~100k recursive LIST/hdrl headers must hit
+    // the depth bound (row drops), not a StackOverflowError (fatal,
+    // escapes the NonFatal catch, would kill the executor task)
+    val deep = java.nio.ByteBuffer.allocate(12 + 100000 * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    deep.put("RIFF".getBytes("US-ASCII")); deep.putInt(4 + 100000 * 12)
+    deep.put("AVI ".getBytes("US-ASCII"))
+    (0 until 100000).foreach { i =>
+      deep.put("LIST".getBytes("US-ASCII"))
+      deep.putInt(4 + (100000 - 1 - i) * 12)
+      deep.put("hdrl".getBytes("US-ASCII"))
+    }
+    assert(MultimodalOps.parseAvi(deep.array()).isEmpty)
     // fuzz: random truncations and byte flips of valid containers must
     // return Some or None, never throw (deterministic seed)
     val rnd = new scala.util.Random(123)
