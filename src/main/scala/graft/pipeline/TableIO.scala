@@ -148,7 +148,14 @@ final class TableIO(root: String) {
     val prev = snapshots()
     val id = nextId()
     val dir = reserveDir(id)
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dir")
+    // Append, NOT Overwrite: Overwrite DELETES the target first, and the
+    // reserved dir IS the reservation marker — destroying it mid-write
+    // opens a window where a concurrent writer's nextId() no longer sees
+    // the claim, re-reserves the same id, and the two writers clobber
+    // each other's _temporary staging (observed as a chmod-on-missing-
+    // path task failure). reserveDir guarantees the dir was just created
+    // empty, so Append lands exactly this write's files.
+    df.write.mode(SaveMode.Append).parquet(s"$root/$dir")
     val rows = df.sparkSession.read.parquet(s"$root/$dir").count()
     val line = s"""{"id":$id,"dir":"$dir","rows":$rows}"""
     val all = (prev.map(s => s"""{"id":${s.id},"dir":"${s.dir}","rows":${s.rows}}""") :+ line)
@@ -194,8 +201,10 @@ final class TableIO(root: String) {
     val base = manifestBase()
     val id = nextId()
     val dir = reserveDir(id)
-    // materialize BEFORE truncating the manifest: df may read prior snapshots
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$dir")
+    // materialize BEFORE truncating the manifest: df may read prior
+    // snapshots. Append, not Overwrite — see appendSnapshot: the
+    // reserved dir is the reservation marker and must never be deleted.
+    df.write.mode(SaveMode.Append).parquet(s"$root/$dir")
     val rows = df.sparkSession.read.parquet(s"$root/$dir").count()
     commitManifest(s"""{"id":$id,"dir":"$dir","rows":$rows}""" + "\n", id, base)
     Snapshot(id, dir, rows)

@@ -197,19 +197,22 @@ object StreamingExtract {
         (_: String, rows: Iterator[(String, graft.pipeline.ExtractedDoc)],
          state: GroupState[List[(String, String)]]) =>
           var reps = state.getOption.getOrElse(List.empty[(String, String)])
-          // deterministic total order: (url, text) — url alone ties on
-          // same-url in-batch pairs, and a tie decided by shuffle
-          // arrival order could flag a different winner per band (both
-          // copies then suppressed by the per-doc max-vote)
-          val sorted = rows.map(_._2).toSeq.sortBy(d => (d.url, d.text))
-          // byte-identical in-batch copies of one doc collapse to ONE
-          // vote row here: they are the same document (foreachBatch
-          // groups them together), so a second row voting dup=true
-          // against the first's just-stored text would suppress BOTH
-          // copies — zero emissions instead of one
-          val seenHere = mutable.Set.empty[(String, String)]
+          // deterministic TOTAL order on the full document — the sort
+          // key and the in-group identity must match the downstream
+          // per-doc vote grouping exactly: two copies differing only in
+          // warc_ts are DIFFERENT vote keys, so every band must pick
+          // the same winner or the votes split across keys (double
+          // emission / missed suppression); url alone ties on same-url
+          // pairs and a tie decided by shuffle arrival order could
+          // differ per band
+          val sorted = rows.map(_._2).toSeq.sortBy(d => (d.url, d.text, d.toString))
+          // FULLY identical in-batch copies collapse to ONE vote row:
+          // they are one vote key downstream, and a second row voting
+          // dup=true against the first's just-stored text would
+          // suppress both — zero emissions instead of one
+          val seenHere = mutable.Set.empty[graft.pipeline.ExtractedDoc]
           val out = sorted.flatMap { d =>
-            if (!seenHere.add((d.url, d.text))) None
+            if (!seenHere.add(d)) None
             else {
               // no url self-exemption: a recrawl carrying near-identical
               // content is a duplicate exactly like a mirror url is
@@ -218,13 +221,16 @@ object StreamingExtract {
                 graft.functions.MinHashCore.shingleJaccard(t, d.text) >= jaccardMin
               }
               if (!dup) {
-                // one rep slot per url: drifted (non-dup) recrawls
-                // REPLACE the url's stored text instead of accumulating
-                // stale versions that starve other urls of the
-                // occupancy-capped slots
-                val i = reps.indexWhere(_._1 == d.url)
-                if (i >= 0) reps = reps.updated(i, (d.url, d.text))
-                else if (reps.size < maxBucketReps) reps = reps :+ ((d.url, d.text))
+                // append while the bucket has room (an emitted doc's
+                // text must STAY in state — evicting it would let later
+                // near-dups of emitted content escape); only at the
+                // occupancy cap does a drifted recrawl refresh its own
+                // url's slot rather than silently dropping
+                if (reps.size < maxBucketReps) reps = reps :+ ((d.url, d.text))
+                else {
+                  val i = reps.indexWhere(_._1 == d.url)
+                  if (i >= 0) reps = reps.updated(i, (d.url, d.text))
+                }
               }
               Some((d, dup))
             }

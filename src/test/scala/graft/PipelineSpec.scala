@@ -264,7 +264,20 @@ class PipelineSpec extends AnyFunSuite {
       System.nanoTime() - t0 < 60e9) Thread.sleep(20)
     new TableIO(root).appendSnapshot(Seq(("u3", 3)).toDF("key", "v"))
     WriterRaceGate.gate.countDown()
-    val e = intercept[IllegalStateException](Await.result(fA, 300.seconds))
+    // on an unexpected exception class, dump the full cause chain —
+    // intercept() reports only the top-level class, and this test once
+    // failed with an opaque Shell$ExitCodeException whose cause chain
+    // was the clue to a REAL reservation bug (Overwrite deleting the
+    // reserved dir); keep the diagnosis cheap if it ever flakes again
+    val e = try intercept[IllegalStateException](Await.result(fA, 300.seconds))
+    catch { case t: Throwable =>
+      def dump(x: Throwable, d: Int = 0): Unit = if (x != null && d < 8) {
+        System.err.println("RACEDBG " + ("  " * d) + x.getClass.getName + ": " + x.getMessage)
+        x.getSuppressed.foreach(s => System.err.println("RACEDBG sup " + s))
+        dump(x.getCause, d + 1)
+      }
+      dump(t); throw t
+    }
     assert(e.getMessage.contains("concurrent writer"))
     // B's commit survives; A's never entered the live view
     assert(io.readTable(spark).get.as[(String, Int)].collect().toMap ==

@@ -98,10 +98,11 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-neardup-stream").toString
     val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
-    def page(url: String, text: String) = graft.pipeline.PageRow(url,
-      new java.sql.Timestamp(1577836800000L),
+    def pageAt(url: String, text: String, ts: Long) = graft.pipeline.PageRow(url,
+      new java.sql.Timestamp(ts),
       s"<html><body><main><p>$text</p></main></body></html>"
         .getBytes("UTF-8"), "", "en")
+    def page(url: String, text: String) = pageAt(url, text, 1577836800000L)
     val words = (1 to 60).map(i => s"word$i")
     val baseText = words.mkString(" ")
     val nearA = words.updated(59, "changedA").mkString(" ") // in-batch near-dup
@@ -128,20 +129,23 @@ class StreamingAndOpsSpec extends AnyFunSuite {
       .intersect(StreamingExtract.minhashBandKeys(eOtherRe)).nonEmpty, "recrawl must collide")
 
     // batch 1: base + its in-batch near-dup + an unrelated doc, the
-    // latter delivered TWICE (at-least-once upstream): byte-identical
-    // in-batch copies must collapse to ONE emitted row, never zero
+    // latter delivered THREE times — twice byte-identical (must collapse
+    // to ONE emitted row, never zero) and once re-stamped with a
+    // different warc_ts (a distinct vote key downstream: every band
+    // must pick the same winner, one emission total for the url)
     spark.createDataset(Seq(
       page("https://a.example/1", baseText),
       page("https://a.example/2", nearA),
       page("https://a.example/3", other),
-      page("https://a.example/3", other)))
+      page("https://a.example/3", other),
+      pageAt("https://a.example/3", other, 1577836800999L)))
       .write.mode("append").parquet(src)
     StreamingExtract.runNearDupDedupAvailableNow(spark, src, sink, ckpt)
     val out1 = spark.read.parquet(sink)
     assert(out1.count() == 2, "in-batch near-dup must be suppressed")
     assert(out1.select("url").as[String].collect().toSet ==
       Set("https://a.example/1", "https://a.example/3"),
-      "url order decides the in-batch winner; a doubled identical row still emits once")
+      "doubled identical and re-stamped copies must still emit the url exactly once")
 
     // batch 2: a near-dup RECRAWL of batch-1 content under a new url AND
     // a near-dup recrawl of batch-1 content under the SAME url are both
