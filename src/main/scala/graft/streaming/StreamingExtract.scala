@@ -182,6 +182,11 @@ object StreamingExtract {
     * OTHER bands: later documents similar to it dedup against the whole
     * near-dup cluster, not only against emitted survivors.
     */
+  /** Max stored text versions per url per band bucket (see the slot
+    * policy inside [[nearDupVotes]]).
+    */
+  val PerUrlReps: Int = 4
+
   def nearDupVotes(pages: Dataset[PageRow], charset: String = "utf-8",
                    jaccardMin: Double = 0.8, maxBucketReps: Int = 32)
       : Dataset[(graft.pipeline.ExtractedDoc, Boolean)] = {
@@ -202,10 +207,15 @@ object StreamingExtract {
           // per-doc vote grouping exactly: two copies differing only in
           // warc_ts are DIFFERENT vote keys, so every band must pick
           // the same winner or the votes split across keys (double
-          // emission / missed suppression); url alone ties on same-url
-          // pairs and a tie decided by shuffle arrival order could
-          // differ per band
-          val sorted = rows.map(_._2).toSeq.sortBy(d => (d.url, d.text, d.toString))
+          // emission / missed suppression). The key enumerates every
+          // field explicitly and injectively — a toString would render
+          // the Timestamp through the executor's DEFAULT TIMEZONE
+          // (bands on differently-configured executors could then
+          // disagree) and is non-injective across a DST fall-back.
+          val sorted = rows.map(_._2).toSeq.sortBy(d =>
+            (d.url, d.text, d.warc_ts.getTime, d.lang,
+              (d.blocks.toLong << 32) | (d.content_blocks.toLong & 0xffffffffL),
+              d.html_bytes, d.text_chars, d.parse_ok))
           // FULLY identical in-batch copies collapse to ONE vote row:
           // they are one vote key downstream, and a second row voting
           // dup=true against the first's just-stored text would
@@ -221,16 +231,23 @@ object StreamingExtract {
                 graft.functions.MinHashCore.shingleJaccard(t, d.text) >= jaccardMin
               }
               if (!dup) {
-                // append while the bucket has room (an emitted doc's
-                // text must STAY in state — evicting it would let later
-                // near-dups of emitted content escape); only at the
-                // occupancy cap does a drifted recrawl refresh its own
-                // url's slot rather than silently dropping
-                if (reps.size < maxBucketReps) reps = reps :+ ((d.url, d.text))
-                else {
+                // slot policy balancing three constraints of a bounded,
+                // never-expiring state: (1) emitted text stays in state
+                // while room remains (evicting it lets later near-dups
+                // of emitted content escape); (2) one fast-drifting url
+                // must not fill the bucket and permanently starve other
+                // urls of registration (state has no timeout — a
+                // poisoned bucket would never heal), so per-url slots
+                // cap at PerUrlReps with oldest-version FIFO; (3) at
+                // the bucket occupancy cap a url refreshes its own
+                // oldest slot, and a brand-new url drops — the batch
+                // family's bounded-bucket rule
+                val mine = reps.count(_._1 == d.url)
+                if (mine >= PerUrlReps || reps.size >= maxBucketReps) {
                   val i = reps.indexWhere(_._1 == d.url)
-                  if (i >= 0) reps = reps.updated(i, (d.url, d.text))
-                }
+                  if (i >= 0)
+                    reps = reps.patch(i, Nil, 1) :+ ((d.url, d.text))
+                } else reps = reps :+ ((d.url, d.text))
               }
               Some((d, dup))
             }
