@@ -150,6 +150,11 @@ object StreamingExtract {
       }
   }
 
+  /** Max stored text versions per url per band bucket (see the slot
+    * policy inside [[nearDupVotes]]).
+    */
+  val PerUrlReps: Int = 4
+
   /** MinHash band keys of a text — the SAME banding as the batch LSH
     * family ([[graft.ops.DedupOps.minhashBands]]: 8 hashes, 4 bands of
     * 2, band key = md5 of the '|'-joined 16-hex signatures), via the
@@ -173,20 +178,24 @@ object StreamingExtract {
     * [[runNearDupDedupAvailableNow]]). State is cross-batch and
     * cross-restart (checkpoint-backed; RocksDB-shaped at crawl scale,
     * partitioned by band key), per-bucket reps are occupancy-capped at
-    * `maxBucketReps` (the batch family's bounded-bucket rule), and
-    * within a batch group documents apply in url order, so the output
-    * is deterministic under any arrival order.
+    * `maxBucketReps` (the batch family's bounded-bucket rule) and at
+    * [[PerUrlReps]] versions per url, and within a batch group
+    * documents apply in a deterministic total order, so the output is
+    * deterministic under any arrival order.
     *
     * Like the batch connected-components attribution, a document
     * suppressed via one band still registers as a representative in its
     * OTHER bands: later documents similar to it dedup against the whole
     * near-dup cluster, not only against emitted survivors.
+    *
+    * Scale note: reps store the verification TEXT, so state holds up to
+    * nBands × (occupancy cap) bucket-representative texts — exact
+    * verification's price. A 10^12-doc deployment that can't afford it
+    * swaps the stored text for the 8-hash minhash signature and
+    * verifies by signature agreement (estimated Jaccard) — same
+    * plumbing, O(1) rep size, approximate verify; the batch path stays
+    * the exact one.
     */
-  /** Max stored text versions per url per band bucket (see the slot
-    * policy inside [[nearDupVotes]]).
-    */
-  val PerUrlReps: Int = 4
-
   def nearDupVotes(pages: Dataset[PageRow], charset: String = "utf-8",
                    jaccardMin: Double = 0.8, maxBucketReps: Int = 32)
       : Dataset[(graft.pipeline.ExtractedDoc, Boolean)] = {
