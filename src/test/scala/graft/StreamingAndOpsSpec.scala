@@ -163,6 +163,25 @@ class StreamingAndOpsSpec extends AnyFunSuite {
       "a same-url near-identical recrawl must not append a second row")
   }
 
+  test("streaming band keys equal the batch LSH banding per document") {
+    // the stream suppresses what the batch family would pair — that
+    // only holds if both derive IDENTICAL band keys from a text; pin it
+    // against the real documents table, not just by shared-code
+    // construction
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.ops.DedupOps.minhashBands(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> s"${r.getInt(1)}:${r.getString(2)}")
+      .groupBy(_._1).map { case (id, ks) => id -> ks.map(_._2).toSet }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(docs.length == 500 && batch.size == 500)
+    docs.foreach { case (id, text) =>
+      assert(StreamingExtract.minhashBandKeys(text).toSet == batch(id), s"doc $id")
+    }
+  }
+
   test("content fingerprint: non-ASCII text falls back to exact identity, never collapses") {
     import graft.streaming.StreamingExtract.contentFingerprint
     // two DIFFERENT CJK texts must get different keys (the ASCII
