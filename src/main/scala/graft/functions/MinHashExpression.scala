@@ -118,24 +118,34 @@ object MinHashCore {
     Array.tabulate(numHashes)(k => f"${mins(k) - Long.MinValue}%016x")
   }
 
-  /** Exact word-3-gram Jaccard of two texts — the row-local form of
-    * [[ShingleJaccard]] (same shingling, same formula), used by the
-    * streaming near-dup verification.
+  /** The word-3-gram shingle set of a text — exposed so callers that
+    * verify one text against MANY (the streaming near-dup exact mode)
+    * can build each side's set once instead of re-shingling per
+    * comparison.
     */
-  def shingleJaccard(a: String, b: String): Double = {
-    def shingleSet(text: String): java.util.HashSet[String] = {
-      val set = new java.util.HashSet[String]()
-      Shingling.foreach(text)(s => { set.add(s); () })
-      set
-    }
-    val sa = shingleSet(a)
-    val sb = shingleSet(b)
+  def shingleSetOf(text: String): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    Shingling.foreach(text)(s => { set.add(s); () })
+    set
+  }
+
+  /** Jaccard of two prebuilt shingle sets (empty-union ⇒ 0.0, matching
+    * [[ShingleJaccard]]).
+    */
+  def jaccardSets(sa: java.util.HashSet[String], sb: java.util.HashSet[String]): Double = {
     var inter = 0
     val it = sa.iterator()
     while (it.hasNext) if (sb.contains(it.next())) inter += 1
     val union = sa.size + sb.size - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
+
+  /** Exact word-3-gram Jaccard of two texts — the row-local form of
+    * [[ShingleJaccard]] (same shingling, same formula), used by the
+    * streaming near-dup verification.
+    */
+  def shingleJaccard(a: String, b: String): Double =
+    jaccardSets(shingleSetOf(a), shingleSetOf(b))
 }
 
 /** The ONE word-3-gram shingling rule, shared by LSH candidate

@@ -86,6 +86,14 @@ object DedupOps {
     sharedPairsCache.compute(dirKey, (_, prev) => {
       if (prev != null && prev._1 == tag) prev
       else {
+        // contract: unpersisting the superseded entry assumes no query
+        // is still mid-execution against it WHILE the corpus files at
+        // the same path are being rewritten — a concurrent reader in
+        // that window would recompute lost blocks from the NEW files
+        // and could mix pair sets across corpus generations. Rewriting
+        // a corpus in place under live queries is out of contract
+        // (rewrites go to a new path / TableIO snapshot); the uncached
+        // path has the same torn-read exposure at the file level.
         if (prev != null) prev._2.unpersist(blocking = false)
         (tag, minhashLshPairs(spark, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

@@ -6,6 +6,37 @@ import scala.collection.mutable
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
+/** An extracted document plus its injective content digest — the row
+  * shape of the near-dup STAGING table (see
+  * [[StreamingExtract.runNearDupDedupAvailableNow]]): every field of
+  * [[graft.pipeline.ExtractedDoc]] in declaration order, with `digest`
+  * appended last so dropping it restores the extracted schema exactly.
+  */
+final case class StagedDoc(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    text: String,
+    lang: String,
+    blocks: Int,
+    content_blocks: Int,
+    html_bytes: Long,
+    text_chars: Long,
+    parse_ok: Boolean,
+    digest: String)
+
+/** One (band bucket, document) occurrence entering the stateful vote —
+  * METADATA ONLY: `payload` is the '|'-joined 8×16-hex minhash
+  * signature in the default signature-verify mode (raw text only in the
+  * opt-in exact mode), so no document text rides the stateful shuffle
+  * or lives in checkpoint state.
+  */
+final case class BandRow(band_key: String, digest: String, url: String, payload: String)
+
+/** A band's verdict on one document, keyed by content digest — the
+  * vote-assembly key (never the document struct).
+  */
+final case class BandVote(digest: String, dup: Boolean)
+
 /** Structured Streaming surface for the extraction job.
   *
   * The north rule's "resumable from snapshot + checkpoint manifests" is
@@ -150,10 +181,19 @@ object StreamingExtract {
       }
   }
 
-  /** Max stored text versions per url per band bucket (see the slot
-    * policy inside [[nearDupVotes]]).
+  /** Max stored representative versions per url per band bucket (see
+    * the slot policy inside [[nearDupVotes]]).
     */
   val PerUrlReps: Int = 4
+
+  /** Band keys from an already-computed signature (shared by the scalar
+    * [[minhashBandKeys]] and the staged vote projection, so both derive
+    * keys from ONE signature pass).
+    */
+  def bandKeysOfSigs(sigs: Array[String]): Seq[String] =
+    sigs.grouped(graft.ops.DedupOps.BandSize).zipWithIndex.map { case (g, b) =>
+      b + ":" + org.apache.commons.codec.digest.DigestUtils.md5Hex(g.mkString("|"))
+    }.toSeq
 
   /** MinHash band keys of a text — the SAME banding as the batch LSH
     * family ([[graft.ops.DedupOps.minhashBands]]: 8 hashes, 4 bands of
@@ -162,103 +202,197 @@ object StreamingExtract {
     * on what "candidate near-duplicate" means. The band index prefixes
     * the key (bands are independent hash tables).
     */
-  def minhashBandKeys(text: String): Seq[String] = {
-    val sigs = graft.functions.MinHashCore.sigs(text, graft.ops.DedupOps.NumHashes)
-    sigs.grouped(graft.ops.DedupOps.BandSize).zipWithIndex.map { case (g, b) =>
-      b + ":" + org.apache.commons.codec.digest.DigestUtils.md5Hex(g.mkString("|"))
-    }.toSeq
+  def minhashBandKeys(text: String): Seq[String] =
+    bandKeysOfSigs(
+      graft.functions.MinHashCore.sigs(text, graft.ops.DedupOps.NumHashes))
+
+  /** Injective content digest of an extracted-doc row, as a COLUMN —
+    * md5 over a length-prefixed '|'-joined encoding of every field
+    * (variable-length fields carry their char count, so a '|' inside
+    * url/text/lang cannot alias two rows; the timestamp contributes
+    * `unix_micros`, which is timezone-free and keeps full microsecond
+    * precision — a rendered timestamp would depend on the session zone
+    * and drop sub-millisecond digits, letting two distinct rows
+    * collide). The digest is the near-dup vote key AND the staging-join
+    * key: two rows share a digest iff they are field-identical.
+    * (Extraction never emits NULL fields; a NULL would drop out of
+    * `concat_ws` — the encoding is injective over the non-null rows the
+    * pipeline produces.)
+    */
+  def docDigestCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    md5(concat_ws("|",
+      length(col("url")), col("url"),
+      length(col("text")), col("text"),
+      unix_micros(col("warc_ts")),
+      length(col("lang")), col("lang"),
+      col("blocks"), col("content_blocks"), col("html_bytes"),
+      col("text_chars"), col("parse_ok").cast("int")))
   }
 
-  /** Streaming NEAR-duplicate dedup — the streaming face of the batch
-    * MinHash-LSH → verify family: each extracted document explodes into
-    * its [[minhashBandKeys]], per-band state holds the texts already
-    * seen in that bucket, and a document whose bucket contains a text
-    * with word-3-gram Jaccard >= `jaccardMin` is voted a duplicate in
+  /** The staging table's schema: extracted docs + digest. */
+  val stagedSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("blocks", IntegerType),
+    StructField("content_blocks", IntegerType),
+    StructField("html_bytes", LongType),
+    StructField("text_chars", LongType),
+    StructField("parse_ok", BooleanType),
+    StructField("digest", StringType)))
+
+  /** Phase 1 of the near-dup flow: incremental extraction into the
+    * STAGING table — each new page file is extracted once (exactly-once
+    * via this phase's own checkpoint) and landed with its
+    * [[docDigestCol]]. The staging table is the extraction product
+    * (every doc, pre-dedup); the dedup sink is a digest-filtered view
+    * of it.
+    */
+  def stageExtractAvailableNow(spark: SparkSession, sourceDir: String,
+                               stagedDir: String, checkpointDir: String,
+                               charset: String = "utf-8"): Unit = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(pageSchema)
+      .parquet(sourceDir)
+      .as[PageRow]
+    val staged = pages
+      .mapPartitions(it => it.map(p => ExtractPipeline.extractOne(p, charset)))
+      .toDF()
+      .withColumn("digest", docDigestCol)
+    val q: StreamingQuery = staged.writeStream
+      .format("parquet")
+      .option("path", stagedDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming NEAR-duplicate dedup votes — the streaming face of the
+    * batch MinHash-LSH → verify family, on METADATA ONLY: each staged
+    * document explodes into its [[minhashBandKeys]] carrying just
+    * (digest, url, signature payload); per-band state holds the
+    * (url, payload) representatives already seen in that bucket; and a
+    * document agreeing with any representative is voted a duplicate in
     * that band (colliding in ANY band suppresses — assemble with
-    * [[runNearDupDedupAvailableNow]]). State is cross-batch and
-    * cross-restart (checkpoint-backed; RocksDB-shaped at crawl scale,
-    * partitioned by band key), per-bucket reps are occupancy-capped at
-    * `maxBucketReps` (the batch family's bounded-bucket rule) and at
-    * [[PerUrlReps]] versions per url, and within a batch group
-    * documents apply in a deterministic total order, so the output is
-    * deterministic under any arrival order.
+    * [[runNearDupDedupAvailableNow]]). No document text enters the
+    * stateful shuffle or the checkpoint state in the default mode.
+    *
+    * Verification modes:
+    *  - default (`exactVerify = false`): the payload is the '|'-joined
+    *    8×16-hex minhash signature and a candidate is a duplicate when
+    *    >= ceil(jaccardMin × 8) of the 8 positions agree (the unbiased
+    *    MinHash estimate of Jaccard >= jaccardMin). O(1) rep size —
+    *    state holds nBands × occupancy-cap short strings per bucket,
+    *    the 10^12-doc shape.
+    *  - opt-in (`exactVerify = true`): the payload is the raw text and
+    *    verification is exact word-3-gram Jaccard (per-invocation
+    *    shingle-set cache — each side shingles once per micro-batch
+    *    group, not once per comparison). Small-deployment exactness at
+    *    the price of text in state and 1×/band text shuffle.
+    *
+    * State is cross-batch and cross-restart (checkpoint-backed;
+    * RocksDB-shaped at crawl scale, partitioned by band key), per-bucket
+    * reps are occupancy-capped at `maxBucketReps` (the batch family's
+    * bounded-bucket rule) and at [[PerUrlReps]] versions per url, and
+    * within a batch group documents apply in the deterministic total
+    * order (url, digest) — injective (digest covers every field at
+    * microsecond timestamp precision), so every band picks the same
+    * winner among same-batch near-dups and the output is deterministic
+    * under any arrival order.
     *
     * Like the batch connected-components attribution, a document
     * suppressed via one band still registers as a representative in its
     * OTHER bands: later documents similar to it dedup against the whole
     * near-dup cluster, not only against emitted survivors.
-    *
-    * Scale note: reps store the verification TEXT, so state holds up to
-    * nBands × (occupancy cap) bucket-representative texts — exact
-    * verification's price. A 10^12-doc deployment that can't afford it
-    * swaps the stored text for the 8-hash minhash signature and
-    * verifies by signature agreement (estimated Jaccard) — same
-    * plumbing, O(1) rep size, approximate verify; the batch path stays
-    * the exact one.
     */
-  def nearDupVotes(pages: Dataset[PageRow], charset: String = "utf-8",
-                   jaccardMin: Double = 0.8, maxBucketReps: Int = 32)
-      : Dataset[(graft.pipeline.ExtractedDoc, Boolean)] = {
-    import pages.sparkSession.implicits._
+  def nearDupVotes(staged: Dataset[StagedDoc], jaccardMin: Double = 0.8,
+                   maxBucketReps: Int = 32, exactVerify: Boolean = false)
+      : Dataset[BandVote] = {
+    import staged.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    pages
-      .mapPartitions(it => it.map(p => ExtractPipeline.extractOne(p, charset)))
-      .flatMap(d => minhashBandKeys(d.text).map(bk => (bk, d)))
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[List[(String, String)],
-        (graft.pipeline.ExtractedDoc, Boolean)](
+    val numHashes = graft.ops.DedupOps.NumHashes
+    // MinHash estimate of Jaccard >= jaccardMin ⇔ matching positions >=
+    // ceil(jaccardMin × k); the epsilon absorbs double noise in the
+    // product (0.8 × 8 = 6.4000…04) without moving exact multiples
+    val minMatch = math.ceil(jaccardMin * numHashes - 1e-9).toInt
+    staged
+      .mapPartitions(_.flatMap { d =>
+        // ONE signature pass serves the band keys and (in signature
+        // mode) the verification payload; text is projected away here,
+        // before the shuffle, unless exact verification asked for it
+        val sigs = graft.functions.MinHashCore.sigs(d.text, numHashes)
+        val payload = if (exactVerify) d.text else sigs.mkString("|")
+        bandKeysOfSigs(sigs).map(bk => BandRow(bk, d.digest, d.url, payload))
+      })
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[List[(String, String)], BandVote](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, rows: Iterator[(String, graft.pipeline.ExtractedDoc)],
+        (_: String, rows: Iterator[BandRow],
          state: GroupState[List[(String, String)]]) =>
           var reps = state.getOption.getOrElse(List.empty[(String, String)])
-          // deterministic TOTAL order on the full document — the sort
-          // key and the in-group identity must match the downstream
-          // per-doc vote grouping exactly: two copies differing only in
-          // warc_ts are DIFFERENT vote keys, so every band must pick
-          // the same winner or the votes split across keys (double
-          // emission / missed suppression). The key enumerates every
-          // field explicitly and injectively — a toString would render
-          // the Timestamp through the executor's DEFAULT TIMEZONE
-          // (bands on differently-configured executors could then
-          // disagree) and is non-injective across a DST fall-back.
-          val sorted = rows.map(_._2).toSeq.sortBy(d =>
-            (d.url, d.text, d.warc_ts.getTime, d.lang,
-              (d.blocks.toLong << 32) | (d.content_blocks.toLong & 0xffffffffL),
-              d.html_bytes, d.text_chars, d.parse_ok))
-          // FULLY identical in-batch copies collapse to ONE vote row:
-          // they are one vote key downstream, and a second row voting
-          // dup=true against the first's just-stored text would
-          // suppress both — zero emissions instead of one
-          val seenHere = mutable.Set.empty[graft.pipeline.ExtractedDoc]
-          val out = sorted.flatMap { d =>
-            if (!seenHere.add(d)) None
+          // deterministic TOTAL order: digest is injective over the full
+          // row (micro-precise timestamp included), so (url, digest) is
+          // a total order every band derives identically — two copies
+          // differing only in warc_ts are DIFFERENT vote keys, and every
+          // band must pick the same winner or the votes split across
+          // keys (double emission / missed suppression)
+          val sorted = rows.toSeq.sortBy(r => (r.url, r.digest))
+          // per-invocation shingle cache (exact mode): each stored rep
+          // and each incoming doc shingles at most once per group call
+          val setCache = mutable.Map.empty[String, java.util.HashSet[String]]
+          def shingles(t: String) =
+            setCache.getOrElseUpdate(t, graft.functions.MinHashCore.shingleSetOf(t))
+          def sigAgree(a: String, b: String): Int = {
+            val xs = a.split('|'); val ys = b.split('|')
+            var i = 0; var n = 0
+            while (i < xs.length && i < ys.length) {
+              if (xs(i) == ys(i)) n += 1
+              i += 1
+            }
+            n
+          }
+          def isDup(docPayload: String, repPayload: String): Boolean =
+            if (exactVerify)
+              graft.functions.MinHashCore.jaccardSets(
+                shingles(repPayload), shingles(docPayload)) >= jaccardMin
+            else sigAgree(docPayload, repPayload) >= minMatch
+          // FULLY identical in-batch copies (same digest) collapse to
+          // ONE vote row: they are one vote key downstream, and a second
+          // row voting dup=true against the first's just-stored payload
+          // would suppress both — zero emissions instead of one
+          val seenHere = mutable.Set.empty[String]
+          val out = sorted.flatMap { r =>
+            if (!seenHere.add(r.digest)) None
             else {
               // no url self-exemption: a recrawl carrying near-identical
               // content is a duplicate exactly like a mirror url is
               // (batch LSH pairs docs regardless of url)
-              val dup = reps.exists { case (_, t) =>
-                graft.functions.MinHashCore.shingleJaccard(t, d.text) >= jaccardMin
-              }
+              val dup = reps.exists { case (_, p) => isDup(r.payload, p) }
               if (!dup) {
                 // slot policy balancing three constraints of a bounded,
-                // never-expiring state: (1) emitted text stays in state
-                // while room remains (evicting it lets later near-dups
-                // of emitted content escape); (2) one fast-drifting url
-                // must not fill the bucket and permanently starve other
-                // urls of registration (state has no timeout — a
-                // poisoned bucket would never heal), so per-url slots
-                // cap at PerUrlReps with oldest-version FIFO; (3) at
-                // the bucket occupancy cap a url refreshes its own
-                // oldest slot, and a brand-new url drops — the batch
-                // family's bounded-bucket rule
-                val mine = reps.count(_._1 == d.url)
+                // never-expiring state: (1) an emitted doc's payload
+                // stays in state while room remains (evicting it lets
+                // later near-dups of emitted content escape); (2) one
+                // fast-drifting url must not fill the bucket and
+                // permanently starve other urls of registration (state
+                // has no timeout — a poisoned bucket would never heal),
+                // so per-url slots cap at PerUrlReps with oldest-version
+                // FIFO; (3) at the bucket occupancy cap a url refreshes
+                // its own oldest slot, and a brand-new url drops — the
+                // batch family's bounded-bucket rule
+                val mine = reps.count(_._1 == r.url)
                 if (mine >= PerUrlReps || reps.size >= maxBucketReps) {
-                  val i = reps.indexWhere(_._1 == d.url)
+                  val i = reps.indexWhere(_._1 == r.url)
                   if (i >= 0)
-                    reps = reps.patch(i, Nil, 1) :+ ((d.url, d.text))
-                } else reps = reps :+ ((d.url, d.text))
+                    reps = reps.patch(i, Nil, 1) :+ ((r.url, r.payload))
+                } else reps = reps :+ ((r.url, r.payload))
               }
-              Some((d, dup))
+              Some(BandVote(r.digest, dup))
             }
           }
           state.update(reps)
@@ -266,33 +400,62 @@ object StreamingExtract {
       }
   }
 
-  /** Incremental extraction with cross-batch NEAR-dup dedup: band votes
-    * from [[nearDupVotes]] are assembled per document inside
-    * `foreachBatch` (a plain batch aggregation — chaining a second
-    * stateful operator is unnecessary because a document's votes all
-    * land in the same micro-batch) and only documents no band flagged
-    * are appended to the sink.
+  /** Incremental extraction with cross-batch NEAR-dup dedup, in two
+    * chained exactly-once phases:
+    *
+    *  1. [[stageExtractAvailableNow]] lands every newly arrived page as
+    *     an extracted row + content digest in the STAGING table
+    *     (`stagedDir`, default `sinkDir + "-staged"`).
+    *  2. A metadata-only vote stream reads the staging table
+    *     incrementally, runs [[nearDupVotes]] (band-keyed state — no
+    *     text in the stateful shuffle or checkpoint by default), and in
+    *     `foreachBatch` assembles votes BY DIGEST (a document's band
+    *     votes all land in the same micro-batch, so a plain batch
+    *     aggregation suffices), then re-joins the surviving digests
+    *     against the staging table to hydrate the full rows for the
+    *     sink — text flows scan→sink, never through the stateful plan.
+    *
+    * The hydration join re-scans the staging table per micro-batch; in
+    * a long-running deployment the staging table is partitioned by
+    * ingest window so the semi join prunes to recent partitions (the
+    * survivors of a micro-batch can only be rows that batch staged).
     */
   def runNearDupDedupAvailableNow(spark: SparkSession, sourceDir: String,
                                   sinkDir: String, checkpointDir: String,
                                   charset: String = "utf-8",
-                                  jaccardMin: Double = 0.8): Unit = {
+                                  jaccardMin: Double = 0.8,
+                                  exactVerify: Boolean = false,
+                                  stagedDir: String = null): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, max => smax}
-    val pages = spark.readStream
-      .schema(pageSchema)
-      .parquet(sourceDir)
-      .as[PageRow]
-    val votes = nearDupVotes(pages, charset, jaccardMin).toDF("doc", "dup")
-    val q: StreamingQuery = votes.writeStream
+    val staged =
+      if (stagedDir != null) stagedDir else sinkDir.stripSuffix("/") + "-staged"
+    stageExtractAvailableNow(spark, sourceDir, staged, s"$checkpointDir/stage", charset)
+    // an empty source stages nothing: no staging table means no votes
+    val fs = new org.apache.hadoop.fs.Path(staged)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staged))) return
+    val stagedStream = spark.readStream
+      .schema(stagedSchema)
+      .parquet(staged)
+      .as[StagedDoc]
+    val votes = nearDupVotes(stagedStream, jaccardMin, exactVerify = exactVerify)
+    val q: StreamingQuery = votes.toDF().writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        batch.groupBy(col("doc"))
+        val survivors = batch.groupBy(col("digest"))
           .agg(smax(col("dup")).as("dup"))
           .filter(!col("dup"))
-          .select(col("doc.*"))
+          .select(col("digest"))
+        // hydrate survivors from staging: semi join on digest, then
+        // collapse staged twins (identical rows staged by different
+        // source batches share a digest) to one sink row
+        spark.read.schema(stagedSchema).parquet(staged)
+          .join(survivors, Seq("digest"), "left_semi")
+          .dropDuplicates("digest")
+          .drop("digest")
           .write.mode("append").parquet(sinkDir)
       }
-      .option("checkpointLocation", checkpointDir)
+      .option("checkpointLocation", s"$checkpointDir/votes")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
