@@ -72,6 +72,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => SimilarityOps.lshBucketedNeighbors(s, d)),
     "q_ann_ivf" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "q_ann_recall" -> ((s, d) => SimilarityOps.annRecall(s, d)),
+    "q_srp_recall" -> ((s, d) => SimilarityOps.srpRecall(s, d)),
     // ---- corpus hygiene (training-data pipeline) ----
     "q_pii_redact" -> ((s, d) => CorpusOps.piiRedact(s, d)),
     "q_domain_cap" -> ((s, d) => CorpusOps.domainCap(s, d)),
@@ -376,6 +377,7 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> ivfOracle,
     "q_ann_recall" -> annRecallOracle,
+    "q_srp_recall" -> srpRecallOracle,
     "q_embed_neardup" -> embedNearDupOracle,
     "q_dedup_cc" -> dedupCcOracle,
 
@@ -713,6 +715,47 @@ object SparkEntry {
        FROM exact_topk e LEFT JOIN approx_topk a
          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
        GROUP BY e.query_id"""
+
+  /** SRP candidate-generation recall vs thresholded exact top-k (the
+    * gauge [[graft.ops.SimilarityOps.srpRecall]]): the banded-bucket
+    * CTEs are the verified q_embed_neardup ones minus the cosine
+    * verify; ground truth is the verified cosine-top-k CTE filtered to
+    * cos >= 0.2. A query with an empty thresholded top-k contributes
+    * no row on either side.
+    */
+  private val srpRecallOracle: String =
+    s"""WITH nn AS (SELECT $ppbSql AS ppb FROM embeddings),
+       planes AS (
+         SELECT p,
+                list_transform(generate_series(0, 63),
+                  j -> CASE WHEN substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(j // 16 AS VARCHAR)),
+                                        (j % 16) + 1, 1) >= '8'
+                            THEN 1.0 ELSE -1.0 END) AS w
+         FROM nn, unnest(generate_series(0, CAST(4 * nn.ppb - 1 AS BIGINT))) AS t1(p)),
+       proj AS (
+         SELECT e.vec_id, pl.p,
+                list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) AS dp
+         FROM embeddings e CROSS JOIN planes pl),
+       buckets AS (
+         SELECT vec_id, p // nn.ppb AS band,
+                string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         FROM proj, nn GROUP BY vec_id, p // nn.ppb),
+       pairs AS (
+         SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         FROM buckets l JOIN buckets r USING (band, bucket)
+         WHERE l.vec_id < r.vec_id),
+       cand AS (
+         SELECT a AS query_id, b AS neighbor_id FROM pairs WHERE a < 10
+         UNION
+         SELECT b, a FROM pairs WHERE b < 10),
+       exact_topk AS ($cosineTopkOracle),
+       ex AS (SELECT query_id, neighbor_id FROM exact_topk WHERE cos >= 0.2)
+       SELECT ex.query_id,
+              round(CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_at_k
+       FROM ex LEFT JOIN cand c
+         ON ex.query_id = c.query_id AND ex.neighbor_id = c.neighbor_id
+       GROUP BY ex.query_id"""
 
   private val embedNearDupOracle: String = {
     val cosAB = s"round(${dotSql.format("ea.embedding", "eb.embedding")} / (sqrt(${dotSql.format("ea.embedding", "ea.embedding")}) * sqrt(${dotSql.format("eb.embedding", "eb.embedding")})), 6)"

@@ -244,4 +244,54 @@ object SimilarityOps {
       .groupBy(col("query_id"))
       .agg(round(sum(coalesce(col("hit"), lit(0L))) / lit(k), 4).as("recall_at_k"))
   }
+
+  /** Candidate-generation recall@k of the banded SRP-LSH leg — the
+    * approximation-quality gauge for [[bandedSrpPairs]] (the path
+    * [[graft.ops.DedupOps.embeddingNearDups]] uses), mirroring
+    * [[annRecall]] for the IVF leg: per query (vec_id < nQueries), the
+    * fraction of the exact top-k neighbors at cosine >= `minCos` that
+    * the banding surfaced as a candidate pair AT ALL. Verification
+    * downstream of candidate generation is exact, so a missed true
+    * neighbor here is exactly a missed output — this number IS the
+    * leg's end-to-end recall.
+    *
+    * Expected value derives from the SRP collision model: two vectors
+    * at angle θ collide on one hyperplane with p = 1 − θ/π, on a band
+    * of `ppb` planes with p^ppb, and in ≥1 of `nBands` bands with
+    * 1 − (1 − p^ppb)^nBands. With corpus-size-derived ppb
+    * ([[planesPerBand]], ppb = 10 at n = 5000) a cos-0.5 neighbor
+    * (p ≈ 0.667) collides with probability ≈ 1−(1−0.667^10)^4 ≈ 0.07:
+    * occupancy-bounded SRP banding is built to catch NEAR-DUPLICATES
+    * (cos → 1 ⇒ p → 1 ⇒ recall → 1), not moderate-angle neighbors, so
+    * on the isotropic synthetic embeddings the honest fixture recall is
+    * near zero. The gauge's value is the NUMBER: a ppb/nBands/seed
+    * regression (e.g. bands accidentally sharing planes, or ppb no
+    * longer scaling with n) moves an oracle-checked value instead of
+    * silently shifting the candidate set.
+    *
+    * Queries whose thresholded exact top-k is empty contribute no row
+    * (recall of an empty set is undefined) — row count is
+    * deterministic per fixture. Like `q_ann_recall`, the gauge
+    * recomputes the exact answer — at production scale run it over a
+    * SAMPLE of queries, never the corpus.
+    */
+  def srpRecall(spark: SparkSession, dir: String, k: Int = 5,
+                nQueries: Int = 10, minCos: Double = 0.2): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries)
+      .filter(col("cos") >= minCos)
+      .select(col("query_id"), col("neighbor_id"))
+    val pairs = bandedSrpPairs(spark, dir)
+    // orient candidate pairs around the query endpoint (either side of
+    // the a<b pair can be a query); hit rows are ids only
+    val cand = pairs.filter(col("a") < nQueries)
+      .select(col("a").as("query_id"), col("b").as("neighbor_id"))
+      .union(pairs.filter(col("b") < nQueries)
+        .select(col("b").as("query_id"), col("a").as("neighbor_id")))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    exact.join(cand, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 4)
+        .as("recall_at_k"))
+  }
 }

@@ -175,4 +175,19 @@ class VectorExprSpec extends AnyFunSuite {
       .collect()
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
   }
+
+  test("SRP candidate recall pinned on the sf0.001 fixture") {
+    // the banded-SRP approximation-quality gauge is deterministic
+    // (md5-derived planes, fixed fixture): freeze the per-query recall
+    // so any ppb/nBands/plane-derivation regression moves a pinned
+    // value. Values match the SRP collision model p = 1 - θ/π,
+    // P(candidate) = 1 - (1 - p^ppb)^4 with ppb = planesPerBand(500) = 6:
+    // moderate-cos neighbors collide rarely on isotropic embeddings
+    // (see srpRecall's scaladoc) — low recall here is the honest number.
+    val got = graft.ops.SimilarityOps.srpRecall(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = Map(0L -> 0.0, 1L -> 0.4, 2L -> 0.0, 3L -> 0.0, 4L -> 0.6,
+      5L -> 0.2, 6L -> 0.0, 7L -> 0.0, 8L -> 0.2, 9L -> 0.4)
+    assert(got == expected)
+  }
 }
