@@ -56,6 +56,34 @@ object MstrJoinPipeline {
   // ---- stage records (all non-recursive → Catalyst-encodable) ----
 
   final case class ReportReq(file: String, name: String, href: String, ord: Int)
+
+  /** [[ReportJsonRow]] plus the per-link resume key (report id + NUL +
+    * documento-link ordinal — the same injective group key assembly
+    * uses, so duplicate index links of one report id stay distinct
+    * rows). This is the row shape the resumable TableIO sink commits
+    * ([[resumeExtract]]); [[run]] projects the key away.
+    */
+  final case class KeyedReportJsonRow(resume_key: String, report_id: String,
+                                      name: String, file_path: String, json: String)
+
+  /** The resume/group key of one documento-index link request. Ordinals
+    * come from the FULL selected work list, so a resume that filters
+    * already-committed links preserves every pending link's key.
+    */
+  def resumeKeyOf(req: ReportReq): String =
+    Soup.splitHref(req.href)._2 + "\u0000" + req.ord
+
+  /** The work list `run`/`resumeExtract` derive from the documento
+    * index: one request per index link (ordinal = position in the
+    * selected list), `select` being the CLI's narrowing.
+    */
+  def defaultWork(idx: LinkIndex,
+                  select: Option[LinkIndex => Seq[LinkResult]]): Seq[ReportReq] = {
+    val links = select.map(f => f(idx)).getOrElse(idx.links)
+    links.zipWithIndex.map { case (l, i) =>
+      ReportReq(l.file, l.name, l.href, i)
+    }.toSeq
+  }
   final case class DsReq(report_id: String, ds_ord: Int, ds_name: String,
                          ds_id: String, ds_file: String, file: String, source: String)
   final case class AttrReq(report_id: String, ds_ord: Int, ord: Int, official: String,
@@ -145,6 +173,62 @@ object MstrJoinPipeline {
           lang: String = "pt-BR",
           internalShufflePartitions: Int = 4,
           select: Option[LinkIndex => Seq[LinkResult]] = None): Dataset[ReportJsonRow] = {
+    import spark.implicits._
+    val keyed = runKeyed(spark, pagesDs, lang, internalShufflePartitions,
+      idx => defaultWork(idx, select))
+    // project the resume key away (public row shape unchanged); the
+    // projection is entity-scale over the already-cached keyed rows
+    val result = keyed
+      .map(k => ReportJsonRow(k.report_id, k.name, k.file_path, k.json))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    keyed.unpersist(blocking = false)
+    result
+  }
+
+  /** Resumable join-plan extraction through a [[graft.pipeline.TableIO]]
+    * sink — the same snapshot/anti-join contract as the extraction and
+    * filter pipelines, so an interrupted 100k-report run completes only
+    * the remainder on re-run instead of restarting from zero:
+    *
+    *  - committed work = the table's `resume_key` column (report id +
+    *    link ordinal — [[resumeKeyOf]]); reading it is work-list-bounded,
+    *    the same driver-memory class as the documento work list itself;
+    *  - pending work = the selected work list minus committed keys,
+    *    ordinals from the FULL list so keys are stable across attempts
+    *    (resume with the SAME `select` as the interrupted run);
+    *  - nothing pending commits NO snapshot (no empty-snapshot growth on
+    *    a no-op resume), and the union of snapshots after any
+    *    interrupt/resume sequence equals a cold one-shot run's rows
+    *    (MstrJoinSpec).
+    *
+    * Returns the number of newly committed report rows.
+    */
+  def resumeExtract(spark: SparkSession, pagesDs: Dataset[PageRow],
+                    io: graft.pipeline.TableIO,
+                    lang: String = "pt-BR",
+                    internalShufflePartitions: Int = 4,
+                    select: Option[LinkIndex => Seq[LinkResult]] = None): Long = {
+    val committed: Set[String] = io.readTable(spark)
+      .map(_.select(col("resume_key")).distinct()
+        .collect().iterator.map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val keyed = runKeyed(spark, pagesDs, lang, internalShufflePartitions,
+      idx => defaultWork(idx, select).filterNot(r => committed(resumeKeyOf(r))))
+    val n = keyed.count() // served from runKeyed's cache
+    if (n > 0) io.appendSnapshot(keyed.toDF())
+    keyed.unpersist(blocking = false)
+    n
+  }
+
+  /** The staged pipeline proper, parameterized by the work-list builder
+    * and returning resume-keyed rows (callers: [[run]] projects the key
+    * away, [[resumeExtract]] commits it).
+    */
+  def runKeyed(spark: SparkSession, pagesDs: Dataset[PageRow],
+               lang: String,
+               internalShufflePartitions: Int,
+               workOf: LinkIndex => Seq[ReportReq]): Dataset[KeyedReportJsonRow] = {
     val indexFiles = indexFileSet(MstrLocale.forLang(lang))
     // AQE's stage-by-stage materialization adds a driver job every time
     // the pages Dataset-to-RDD lineage is re-executed, and the staged
@@ -174,7 +258,7 @@ object MstrJoinPipeline {
       val indexHtml: Map[String, String] =
         idxRows.iterator.map { case (f, (_, h)) => f -> TextOps.decodeLatin1(h) }.toMap
 
-      runScoped(spark, urlHtml, lang, select, indexHtml, internalShufflePartitions)
+      runScoped(spark, urlHtml, lang, workOf, indexHtml, internalShufflePartitions)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
@@ -186,9 +270,9 @@ object MstrJoinPipeline {
   private def runScoped(spark: SparkSession,
                         urlHtml: RDD[(String, Array[Byte])],
                         lang: String,
-                        select: Option[LinkIndex => Seq[LinkResult]],
+                        workOf: LinkIndex => Seq[ReportReq],
                         indexHtml: Map[String, String],
-                        internalShufflePartitions: Int): Dataset[ReportJsonRow] = {
+                        internalShufflePartitions: Int): Dataset[KeyedReportJsonRow] = {
     import spark.implicits._
     val loc = MstrLocale.forLang(lang)
     val indexFiles: Set[String] = indexFileSet(loc)
@@ -283,11 +367,9 @@ object MstrJoinPipeline {
       }
 
     // ---- stage R: report skeletons + dataset routing ----
-    // `select` = the CLI's --filter/--report/--report-id narrowing,
-    // applied to the work list exactly as in MstrPipeline.run
-    val workLinks = select.map(f => f(indexes.documento))
-      .getOrElse(indexes.documento.links)
-    // one request PER INDEX LINK: a report id listed twice in the
+    // one request PER INDEX LINK (`workOf` applies the CLI's
+    // --filter/--report/--report-id narrowing and, on resume, the
+    // committed-key anti-filter): a report id listed twice in the
     // documento index must yield one output row per link, exactly like
     // the broadcast engine's per-link flatMap — so the internal group
     // key is (report_id, link ordinal), folded into one string that all
@@ -295,10 +377,7 @@ object MstrJoinPipeline {
     // single driver-born work table (the documento index is parsed on
     // the driver — bounded by index-file size); everything after it is
     // distributed.
-    val reportReqs: Seq[ReportReq] =
-      workLinks.zipWithIndex.map { case (l, i) =>
-        ReportReq(l.file, l.name, l.href, i)
-      }.toSeq
+    val reportReqs: Seq[ReportReq] = workOf(indexes.documento)
     val reportReqRdd: RDD[(String, ReportReq)] =
       spark.sparkContext.parallelize(reportReqs, math.max(1, math.min(width, reportReqs.size)))
         .map(r => (r.file, r))
@@ -570,7 +649,7 @@ object MstrJoinPipeline {
             atributos, metricas)
         }.toList
         val r = Relatorio(sk.name, rid, sk.file_path, datasets, sk.owner, sk.acl.toList)
-        ReportJsonRow(rid, sk.name, sk.file_path, JsonExport.exportOne(r))
+        KeyedReportJsonRow(key, rid, sk.name, sk.file_path, JsonExport.exportOne(r))
       }
     }
     // materialize eagerly; callers get the cached result

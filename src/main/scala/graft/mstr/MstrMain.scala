@@ -22,6 +22,13 @@ import org.apache.spark.sql.SparkSession
   *                     deterministic fixture corpus
   *  - `--output-json <dir>` write per-report JSON (the export_to_json
   *                     analog) as a parquet of (report_id, json)
+  *  - `--output-table <dir>` RESUMABLE report-JSON sink for --pages
+  *                     corpora: a TableIO snapshot table keyed by
+  *                     (report id, index-link ordinal). An interrupted
+  *                     extraction re-run with the same flags commits
+  *                     only the missing reports; always the join plan
+  *                     (the unbounded-corpus path — resumability is
+  *                     what the fixed orchestration cost buys)
   *  - `--broadcast-max-bytes <n>` plan-dispatch threshold for --pages
   *                     corpora (default 64 MB): at most n on-disk bytes
   *                     → collect + broadcast plan; larger → distributed
@@ -39,6 +46,7 @@ object MstrMain {
                           lang: String = "pt-BR",
                           pagesPath: Option[String] = None,
                           outputJson: Option[String] = None,
+                          outputTable: Option[String] = None,
                           broadcastMaxBytes: Long = DefaultBroadcastMaxBytes)
 
   /** Dispatch threshold (on-disk corpus bytes): a corpus this small is
@@ -60,6 +68,7 @@ object MstrMain {
       case "--locale" :: v :: t => loop(t, c.copy(lang = v))
       case "--pages" :: v :: t => loop(t, c.copy(pagesPath = Some(v)))
       case "--output-json" :: v :: t => loop(t, c.copy(outputJson = Some(v)))
+      case "--output-table" :: v :: t => loop(t, c.copy(outputTable = Some(v)))
       case "--broadcast-max-bytes" :: v :: t =>
         loop(t, c.copy(broadcastMaxBytes = v.toLong))
       case Nil => c
@@ -181,13 +190,28 @@ object MstrMain {
             val n = selectReports(index, cfg).size
             println(s"Found $n reports" +
               cfg.filter.map(f => s" (filtered by '$f')").getOrElse(""))
-          } else {
-            val (plan, reports) = extractFromParquet(spark, p, cfg)
-            println(s"Extracted ${reports.count()} report(s) [$plan plan]")
-            cfg.outputJson.foreach { out =>
-              reports.toDF().write.mode("overwrite").parquet(out)
-              println(s"JSON export completed: $out")
-            }
+          } else cfg.outputTable match {
+            case Some(tableDir) =>
+              // resumable terminal: only reports not yet committed to
+              // the snapshot table are extracted; --output-json may
+              // additionally export the full committed view
+              val io = new graft.pipeline.TableIO(tableDir)
+              val pagesDs = spark.read.parquet(p).as[PageRow]
+              val n = MstrJoinPipeline.resumeExtract(spark, pagesDs, io, cfg.lang,
+                select = Some(idx => selectReports(idx, cfg)))
+              println(s"Committed $n new report(s) [join plan, resumable]: $tableDir")
+              cfg.outputJson.foreach { out =>
+                io.readTable(spark).foreach(_.drop("resume_key")
+                  .write.mode("overwrite").parquet(out))
+                println(s"JSON export completed: $out")
+              }
+            case None =>
+              val (plan, reports) = extractFromParquet(spark, p, cfg)
+              println(s"Extracted ${reports.count()} report(s) [$plan plan]")
+              cfg.outputJson.foreach { out =>
+                reports.toDF().write.mode("overwrite").parquet(out)
+                println(s"JSON export completed: $out")
+              }
           }
         case None =>
           val pages = graft.fixtures.MstrCorpus.pages

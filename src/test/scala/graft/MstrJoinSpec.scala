@@ -27,6 +27,38 @@ class MstrJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("resumable TableIO sink: interrupted run completes only the remainder, identical to cold run") {
+    import spark.implicits._
+    val pages = graft.fixtures.MstrGen.pages(10)
+    val pagesDs = spark.createDataset(pages).repartition(4)
+    // cold one-shot reference
+    val cold = MstrJoinPipeline.run(spark, pagesDs)
+      .collect().map(r => (r.report_id, r.name, r.file_path, r.json)).sorted
+    assert(cold.length == 10)
+
+    // "interrupted" run: only a prefix of the work list was committed
+    // before the kill — simulated by narrowing the selection
+    val root = java.nio.file.Files.createTempDirectory("graft-mstr-resume").toString
+    val io = new graft.pipeline.TableIO(root)
+    val n1 = MstrJoinPipeline.resumeExtract(spark, pagesDs, io,
+      select = Some(idx => idx.links.take(3)))
+    assert(n1 == 3)
+
+    // resume with the FULL selection: exactly the remainder commits
+    val n2 = MstrJoinPipeline.resumeExtract(spark, pagesDs, io)
+    assert(n2 == cold.length - 3, "resume must extract only the missing reports")
+    val table = io.readTable(spark).get
+    val resumed = table
+      .select("report_id", "name", "file_path", "json")
+      .as[(String, String, String, String)].collect().sorted
+    assert(resumed.sameElements(cold), "resumed table must equal the cold run byte-for-byte")
+
+    // no-op resume: nothing pending ⇒ no new snapshot (no table growth)
+    val snapsBefore = io.snapshots().size
+    val n3 = MstrJoinPipeline.resumeExtract(spark, pagesDs, io)
+    assert(n3 == 0 && io.snapshots().size == snapsBefore)
+  }
+
   test("join path never throws on truncated pages and is partition-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
