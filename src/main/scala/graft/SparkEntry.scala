@@ -81,6 +81,7 @@ object SparkEntry {
     "q_sample_strat" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
     "q_filter_pipeline" -> ((s, d) => CorpusOps.filterPipeline(s, d)),
     "q_pack" -> ((s, d) => CorpusOps.packSequences(s, d)),
+    "q_corpus_e2e" -> ((s, d) => CorpusOps.corpusEndToEndAuto(s, d)),
     // ---- text analysis ----
     "q_langid" -> ((s, d) => TextAnalysisOps.langId(s, d)),
     "q_langid_acc" -> ((s, d) => TextAnalysisOps.langIdAccuracy(s, d)),
@@ -450,6 +451,8 @@ object SparkEntry {
          LEFT JOIN cont c ON d.doc_id = c.doc_id
          WHERE d.doc_id % 11 <> 0""",
 
+    "q_corpus_e2e" -> corpusE2eOracle,
+
     "q_langid" -> langidOracle,
     "q_langid_acc" ->
       s"""WITH pred AS ($langidOracle)
@@ -669,6 +672,68 @@ object SparkEntry {
          SELECT w.s, e2.t FROM walk w JOIN e e2 ON w.t = e2.s)
        SELECT s AS doc_id, least(s, min(t)) AS component
        FROM walk GROUP BY s"""
+
+  /** The whole [[graft.ops.CorpusOps.corpusEndToEnd]] chain restated in
+    * SQL against `documents` — valid because extraction is byte-identical
+    * per url (q_extract_roundtrip), so the Spark side's committed
+    * extracted table and the oracle's source text agree byte-for-byte.
+    * Stage fragments: exact dedup (q_dedup_exact), LSH connected
+    * components (q_dedup_cc's recursive walk), the four filter signals
+    * (q_filter_pipeline), and the pack cumulative-sum (q_pack) over the
+    * surviving kept set.
+    */
+  // lazy: interpolates langidOracle, declared later in the file
+  private lazy val corpusE2eOracle: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       $sigCte,
+       bands AS (
+         SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+         UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+         UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+         UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+       prs AS (
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r USING (band, band_key)
+         WHERE l.doc_id < r.doc_id),
+       e AS (SELECT a AS s, b AS t FROM prs UNION SELECT b, a FROM prs),
+       walk(s, t) AS (
+         SELECT s, t FROM e
+         UNION
+         SELECT w.s, e2.t FROM walk w JOIN e e2 ON w.t = e2.s),
+       cc AS (SELECT s AS doc_id, least(s, min(t)) AS component
+              FROM walk GROUP BY s),
+       exact_kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       surv AS (
+         SELECT k.doc_id FROM exact_kept k LEFT JOIN cc ON k.doc_id = cc.doc_id
+         WHERE cc.component IS NULL OR cc.component = k.doc_id),
+       pred AS ($langidOracle),
+       qual AS (SELECT doc_id, quality_ok FROM ($qualityOracle)),
+       rep AS (SELECT doc_id, repetition_ok FROM ($repetitionOracle)),
+       cont AS (SELECT DISTINCT doc_id FROM ($decontaminateOracle)),
+       kept AS (
+         SELECT d.doc_id
+         FROM documents d
+         JOIN surv USING (doc_id)
+         JOIN pred p ON d.doc_id = p.doc_id
+         JOIN qual q ON d.doc_id = q.doc_id
+         LEFT JOIN rep r ON d.doc_id = r.doc_id
+         LEFT JOIN cont c ON d.doc_id = c.doc_id
+         WHERE d.doc_id % 11 <> 0
+           AND p.predicted_lang = 'en' AND q.quality_ok
+           AND coalesce(r.repetition_ok, TRUE) AND c.doc_id IS NULL),
+       pk AS (
+         SELECT d.doc_id, d.doc_id // 256 AS bucket,
+                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents d JOIN kept USING (doc_id)),
+       cum AS (
+         SELECT doc_id, bucket, n_tokens,
+                coalesce(CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_tok
+         FROM pk)
+       SELECT doc_id, bucket, n_tokens,
+              start_tok // 4096 AS pack_id,
+              start_tok % 4096 AS pack_offset
+       FROM cum"""
 
   private val ivfOracle: String = {
     val cosEC = s"round(${dotSql.format("e.embedding", "c.cvec")} / (sqrt(${dotSql.format("e.embedding", "e.embedding")}) * sqrt(${dotSql.format("c.cvec", "c.cvec")})), 6)"

@@ -91,8 +91,15 @@ object CorpusOps {
     * arithmetic → engine-portable.
     */
   def packSequences(spark: SparkSession, dir: String, capacity: Int = 4096,
-                    bucketSize: Int = 256): DataFrame = {
-    val d = docs(spark, dir).select(
+                    bucketSize: Int = 256): DataFrame =
+    packSequencesOf(docs(spark, dir), capacity, bucketSize)
+
+  /** [[packSequences]] over a caller-supplied (doc_id, text) table (the
+    * chained-pipeline hook).
+    */
+  private def packSequencesOf(docsDf: DataFrame, capacity: Int = 4096,
+                              bucketSize: Int = 256): DataFrame = {
+    val d = docsDf.select(
       col("doc_id"),
       (col("doc_id") / bucketSize).cast("long").as("bucket"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -216,11 +223,22 @@ object CorpusOps {
     * always compare against the full held-out set).
     */
   private def filterPipelineScoped(spark: SparkSession, dir: String,
-                                   scope: DataFrame => DataFrame): DataFrame = {
+                                   scope: DataFrame => DataFrame): DataFrame =
     // the benchmark slice never survives the join with `base` — filter
     // it BEFORE the bigram explode instead of discarding its aggregated
     // rows afterwards (decontaminateOf already takes the training cut)
-    val training = scope(docs(spark, dir).filter(col("doc_id") % 11 =!= 0))
+    filterPipelineOver(spark, dir,
+      scope(docs(spark, dir).filter(col("doc_id") % 11 =!= 0)))
+
+  /** Filter signals over a caller-supplied TRAINING-side (doc_id, text)
+    * table — the chained-pipeline hook: [[corpusEndToEnd]] feeds the
+    * dedup-surviving slice of the EXTRACTED table here. The benchmark
+    * reference slice for decontamination always reads the source corpus
+    * at `dir` (the held-out split is upstream data, never part of the
+    * produced corpus).
+    */
+  private def filterPipelineOver(spark: SparkSession, dir: String,
+                                 training: DataFrame): DataFrame = {
     val base = training
       .select(col("doc_id"),
         (TextAnalysisOps.predictedLangCol(col("text")) === "en").as("lang_ok"),
@@ -261,5 +279,132 @@ object CorpusOps {
       if (decisions.isEmpty) 0L
       else io.appendSnapshot(decisions).rows
     } finally decisions.unpersist(blocking = false)
+  }
+
+  /** The brief's LLM-training-data pipeline as ONE resumable artifact:
+    * extract → exact dedup → near-dup dedup (MinHash-LSH connected
+    * components) → quality/decontamination filter → sequence pack, every
+    * stage committed through [[graft.pipeline.TableIO]] snapshots under
+    * `tableRoot`, so a killed run resumes from its last commit instead
+    * of restarting (verdict r4 task 7). Stage resume granularity matches
+    * each stage's data dependence:
+    *
+    *  - `extracted/` — per-URL incremental (the resumeExtract contract):
+    *    only pages whose url is uncommitted are parsed;
+    *  - `survivors/` — corpus-global (dedup sees every doc), so it is
+    *    stage-level: reused verbatim when its recorded input row count
+    *    matches the live extracted table, recomputed otherwise;
+    *  - `decisions/` — per-doc incremental (the
+    *    [[filterPipelineIncremental]] contract): committed keep/drop
+    *    decisions are skipped by an anti-join BEFORE any signal
+    *    computes. Committed decisions are facts — a later corpus growth
+    *    does not re-decide them (same published contract as the
+    *    standalone incremental filter);
+    *  - `packed/` — pack offsets are cumulative within a bucket, so
+    *    stage-level like survivors, keyed by the kept-doc count.
+    *
+    * Dedup semantics: exact keeps the min doc_id per md5(text) group;
+    * near-dup drops every doc whose LSH connected component has a
+    * smaller member (components computed over the WHOLE extracted
+    * corpus — dedup runs before the train/held-out split, so a
+    * benchmark doc can evict its training twin). The filter stage then
+    * decides only dedup-surviving training docs (doc_id % 11 != 0), and
+    * packing runs over kept docs in doc_id order per bucket.
+    *
+    * Every downstream stage consumes the upstream COMMITTED table (the
+    * extracted text, not the source corpus) — the DuckDB oracle can
+    * still restate the whole chain against `documents` because
+    * extraction is byte-identical per url (pinned by
+    * `q_extract_roundtrip`). Returns the packed table:
+    * (doc_id, bucket, n_tokens, pack_id, pack_offset).
+    */
+  def corpusEndToEnd(spark: SparkSession, dir: String, tableRoot: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+
+    // ---- stage E: extraction, per-url incremental ----
+    val extractIo = new graft.pipeline.TableIO(s"$tableRoot/extracted")
+    val pages = ExtractOps.documentsAsPages(spark, dir)
+    val todoPages = extractIo.pending(pages.toDF(), "url").as[graft.pipeline.PageRow]
+    // a no-op resume must not grow the manifest by an empty snapshot
+    if (!todoPages.isEmpty)
+      extractIo.appendSnapshot(
+        graft.pipeline.ExtractPipeline.run(todoPages, "utf-8").toDF())
+    val extracted = extractIo.readTable(spark).get
+      .select(
+        regexp_extract(col("url"), "doc://(\\d+)", 1).cast("long").as("doc_id"),
+        col("text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nExtracted = extracted.count()
+
+      // ---- stage D: dedup survivors, stage-level ----
+      val survivors = stageTable(spark, s"$tableRoot/survivors", nExtracted) {
+        val exactKept = extracted
+          .groupBy(md5(col("text")).as("digest"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val cc = DedupOps.connectedComponents(DedupOps.minhashLshPairsOf(extracted))
+        exactKept.join(cc, Seq("doc_id"), "left")
+          .filter(col("component").isNull || col("component") === col("doc_id"))
+          .select(col("doc_id"))
+      }
+
+      // ---- stage F: filter decisions, per-doc incremental ----
+      val decisionsIo = new graft.pipeline.TableIO(s"$tableRoot/decisions")
+      val training = extracted.join(survivors, Seq("doc_id"))
+        .filter(col("doc_id") % 11 =!= 0)
+      val todoDocs = decisionsIo.pending(training, "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!todoDocs.isEmpty)
+          decisionsIo.appendSnapshot(filterPipelineOver(spark, dir, todoDocs))
+      } finally todoDocs.unpersist(blocking = false)
+      // decisions may carry docs that stopped surviving after a corpus
+      // grew (dedup found a smaller twin) — the survivors join drops them
+      val kept = decisionsIo.readTable(spark).get
+        .filter(col("keep")).select(col("doc_id"))
+        .join(survivors, Seq("doc_id"))
+
+      // ---- stage P: pack, stage-level ----
+      val nKept = kept.count()
+      stageTable(spark, s"$tableRoot/packed", nKept) {
+        packSequencesOf(extracted.join(kept, Seq("doc_id")))
+      }
+    } finally extracted.unpersist(blocking = false)
+  }
+
+  /** [[corpusEndToEnd]] with the table root derived from the corpus
+    * file-status tag (the derived-layout rule): the same corpus resumes
+    * its committed tables across JVMs; a regenerated corpus at the same
+    * path gets a fresh root instead of stale tables.
+    */
+  def corpusEndToEndAuto(spark: SparkSession, dir: String): DataFrame = {
+    val tag = RelationalOps.layoutTag(spark, dir, "documents")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-e2e-$tag").getAbsolutePath
+    corpusEndToEnd(spark, dir, root)
+  }
+
+  /** Stage-level resume for corpus-global stages: the committed table is
+    * reused verbatim iff the input row count recorded at commit time
+    * (`src_rows`, a constant column) matches the live input; any
+    * mismatch — missing table, partial upstream state, grown corpus —
+    * recomputes and replaces. A crash mid-write never corrupts: the
+    * manifest install is atomic, so the rerun sees the previous (or no)
+    * commit and recomputes.
+    */
+  private def stageTable(spark: SparkSession, root: String, inputRows: Long)
+                        (compute: => DataFrame): DataFrame = {
+    val io = new graft.pipeline.TableIO(root)
+    val fresh = io.readTable(spark).exists { df =>
+      val m = df.select(max(col("src_rows"))).head
+      // an empty committed table carries no src_rows value; both stages
+      // produce empty output iff their input was empty, so it is fresh
+      // exactly when the live input is empty too
+      if (m.isNullAt(0)) inputRows == 0L else m.getLong(0) == inputRows
+    }
+    if (!fresh) io.replaceWith(compute.withColumn("src_rows", lit(inputRows)))
+    io.readTable(spark).get.drop("src_rows")
   }
 }

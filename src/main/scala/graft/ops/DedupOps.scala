@@ -38,8 +38,14 @@ object DedupOps {
     * per-hash expression overhead). Byte-identical output by
     * construction (see the expression's scaladoc).
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(docs(spark, dir))
+
+  /** [[minhashSignatures]] over a caller-supplied (doc_id, text) table —
+    * the chained-pipeline hook ([[CorpusOps.corpusEndToEnd]] feeds the
+    * EXTRACTED table here, not the source corpus).
+    */
+  private[graft] def minhashSignaturesOf(d: DataFrame): DataFrame = {
     val withSig = d.select(col("doc_id"),
       graft.functions.MinHashFunctions.minhash_sigs(col("text"), NumHashes).as("mh"))
     val sigCols = (0 until NumHashes).map(k => element_at(col("mh"), k + 1).as(s"mh$k"))
@@ -52,8 +58,11 @@ object DedupOps {
     * Catalyst's exchange reuse evaluates the signatures exactly once
     * (the naive union-of-bands form costs 8 signature passes).
     */
-  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    minhashBandsOf(docs(spark, dir))
+
+  private[graft] def minhashBandsOf(d: DataFrame): DataFrame = {
+    val sig = minhashSignaturesOf(d)
     val numBands = NumHashes / BandSize
     val bandStructs = (0 until numBands).map { b =>
       val cols = (0 until BandSize).map(j => col(s"mh${b * BandSize + j}"))
@@ -108,8 +117,11 @@ object DedupOps {
     * The self-join is on the band key — shuffle is by band bucket,
     * never an all-pairs cross join (the scale path at 10^12 docs).
     */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairsOf(docs(spark, dir))
+
+  private[graft] def minhashLshPairsOf(d: DataFrame): DataFrame = {
+    val bands = minhashBandsOf(d)
     val l = bands.select(col("band"), col("band_key"), col("doc_id").as("a"))
     val r = bands.select(col("band"), col("band_key"), col("doc_id").as("b"))
     // merge hint: both sides shuffle on the same keys with identical

@@ -130,6 +130,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(fresh.sameElements(resumed))
   }
 
+  test("corpus e2e pipeline: kill-resume at every stage boundary converges byte-identically") {
+    import org.apache.spark.sql.functions.col
+    // small corpus: a training slice plus the full held-out benchmark
+    // slice (decontamination reference), written as its own documents dir
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-docs").toString
+    src.filter(col("doc_id") < 150 || col("doc_id") % 11 === 0)
+      .write.parquet(s"$dir/documents.parquet")
+    def run(root: String): Seq[String] =
+      graft.ops.CorpusOps.corpusEndToEnd(spark, dir, root)
+        .collect().map(_.toString).sorted.toSeq
+    def manifest(root: String, stage: String): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, stage, "manifest.json")), "UTF-8")
+
+    // cold run
+    val rootA = java.nio.file.Files.createTempDirectory("graft-e2e-a").toString
+    val cold = run(rootA)
+    assert(cold.nonEmpty)
+
+    // simulated kill after the dedup stage: downstream tables vanish,
+    // upstream commits must be reused verbatim, result identical
+    val extractedM = manifest(rootA, "extracted")
+    val survivorsM = manifest(rootA, "survivors")
+    def rmrf(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val path = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(path))
+        java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    rmrf(s"$rootA/decisions"); rmrf(s"$rootA/packed")
+    assert(run(rootA) == cold)
+    assert(manifest(rootA, "extracted") == extractedM,
+      "extraction was recomputed on a resume that had it committed")
+    assert(manifest(rootA, "survivors") == survivorsM,
+      "dedup survivors were recomputed on a resume with unchanged input")
+
+    // no-op resume: nothing recomputes, no manifest grows
+    val manifests = Seq("extracted", "survivors", "decisions", "packed")
+      .map(s => manifest(rootA, s))
+    assert(run(rootA) == cold)
+    assert(Seq("extracted", "survivors", "decisions", "packed")
+      .map(s => manifest(rootA, s)) == manifests,
+      "a no-op resume grew a stage manifest")
+
+    // kill mid-extraction: half the pages committed, rerun finishes the
+    // remainder (extracted gets a SECOND snapshot) and converges
+    val rootB = java.nio.file.Files.createTempDirectory("graft-e2e-b").toString
+    val pages = graft.ops.ExtractOps.documentsAsPages(spark, dir)
+    val half = pages.filter(_.url.hashCode % 2 == 0)
+    TableIO.resumeExtract(new TableIO(s"$rootB/extracted"), half)
+    assert(run(rootB) == cold)
+    assert(new TableIO(s"$rootB/extracted").snapshots().length == 2)
+
+    // corpus growth: the remaining training docs arrive; dedup recomputes
+    // (corpus-global), only NEW docs get decided, packing recomputes —
+    // and the table converges to a fresh one-shot over the full corpus
+    src.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val grown = run(rootA)
+    assert(new TableIO(s"$rootA/decisions").snapshots().length == 2,
+      "growth resume must append one decisions snapshot, not rewrite")
+    val rootC = java.nio.file.Files.createTempDirectory("graft-e2e-c").toString
+    assert(run(rootC) == grown)
+  }
+
   test("mergeByKey: MERGE INTO-shaped upsert is idempotent and keeps rollback snapshots") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-merge").toString
