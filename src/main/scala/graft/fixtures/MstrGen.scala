@@ -52,7 +52,14 @@ object MstrGen {
     else
       Labels("Métrica simples", "Composto", "USUÁRIO", "ACESSO", "PAGINAR POR", "Barra Vertical")
 
-  def corpus(n: Int, loc: MstrLocale = MstrLocale.ptBR): Map[String, String] = {
+  /** `hotCubes=true` packs EVERY cube section into ONE content file —
+    * the "all datasets in one export file" shape real MSTR dumps can
+    * produce, which concentrates the whole dataset-stage request list
+    * on a single basename (the hot-basename skew scenario the join
+    * plan's salted request routing exists for).
+    */
+  def corpus(n: Int, loc: MstrLocale = MstrLocale.ptBR,
+             hotCubes: Boolean = false): Map[String, String] = {
     val s = Sizes(n)
     import s._
     val lb = labelsFor(loc)
@@ -71,7 +78,8 @@ object MstrGen {
     def embId(i: Int) = hid("emb", i) // never indexed → embedded metric
 
     def docFile(i: Int) = s"GenDoc_${i / 10 + 1}.html"
-    def cubeFile(i: Int) = s"GenCubo_${i / 5 + 1}.html"
+    def cubeFile(i: Int) =
+      if (hotCubes) "GenCubo_1.html" else s"GenCubo_${i / 5 + 1}.html"
     def relDsFile(i: Int) = s"GenRel_${i + 1}.html" // one section per file
     def attrFile(i: Int) = s"GenAttr_${i / 6 + 1}.html"
     def metFile(i: Int) = s"GenMet${i}_1.html"      // one metric per file
@@ -271,9 +279,10 @@ object MstrGen {
   }
 
   /** As pages-table rows (Latin-1 per the pinned decode rule). */
-  def pages(n: Int, loc: MstrLocale = MstrLocale.ptBR): Seq[PageRow] = {
+  def pages(n: Int, loc: MstrLocale = MstrLocale.ptBR,
+            hotCubes: Boolean = false): Seq[PageRow] = {
     val baseTs = 1577836800000L
-    corpus(n, loc).toSeq.sortBy(_._1).zipWithIndex.map { case ((name, html), i) =>
+    corpus(n, loc, hotCubes).toSeq.sortBy(_._1).zipWithIndex.map { case ((name, html), i) =>
       PageRow(s"mstr://gen/$name", new Timestamp(baseTs + i),
         html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), "", loc.code)
     }

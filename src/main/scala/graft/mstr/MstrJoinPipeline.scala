@@ -325,6 +325,60 @@ object MstrJoinPipeline {
         if (a._1 >= b._1) a else b)
       .persist(sl)
 
+    // ---- stage R work list (also the hot-file planning input) ----
+    // one request PER INDEX LINK (`workOf` applies the CLI's
+    // --filter/--report/--report-id narrowing and, on resume, the
+    // committed-key anti-filter): a report id listed twice in the
+    // documento index must yield one output row per link, exactly like
+    // the broadcast engine's per-link flatMap — so the internal group
+    // key is (report_id, link ordinal), folded into one string that all
+    // downstream request/fragment rows carry opaquely. This list is the
+    // single driver-born work table (the documento index is parsed on
+    // the driver — bounded by index-file size); everything after it is
+    // distributed.
+    val reportReqs: Seq[ReportReq] = workOf(indexes.documento)
+
+    // ---- hot-basename skew routing ----
+    // The by-file partitioner serializes each file's whole request list
+    // into one task — correct for the even layouts real exports mostly
+    // have, a straggler when one content file serves most requests (all
+    // datasets exported into one file: measured 106 s wall / 69 s max
+    // task vs 22 s wall on the even layout, 20k reports @ 8 cores —
+    // MstrHotSkewBench). Hot files are knowable at PLANNING time with
+    // zero extra jobs: a file's future request count is proxied by its
+    // link count across the nine indexes plus the stage-R work list
+    // (every request's file comes from an index link). Files above a
+    // fair-share threshold get their request lists split across `width`
+    // salted keys, with the (already greatest-url-deduped) page row
+    // replicated to each salt — so the page parse runs once per salt in
+    // parallel and the request work divides by `width` instead of
+    // serializing. The salted leg only exists when hot files exist; the
+    // plan (and job count) is byte-identical to the unsalted shape
+    // otherwise. A fan-in hot SECTION (one file, few links, requested
+    // by millions of reports) is not index-visible; catching it would
+    // cost a per-stage count job — out of scope until a corpus shows it.
+    // GRAFT_JOIN_NOSALT=1 disables routing (the A/B lever).
+    val hotFiles: Set[String] =
+      if (sys.env.get("GRAFT_JOIN_NOSALT").contains("1")) Set.empty
+      else hotFilesOf(
+        Seq(indexes.documento, indexes.relatorio, indexes.cuboInteligente,
+          indexes.atalho, indexes.metrica, indexes.fato, indexes.funcao,
+          indexes.atributo, indexes.tabelaLogica, indexes.pasta)
+          .map(_.links.iterator.map(_.file)) :+
+          reportReqs.iterator.map(_.file),
+        width)
+    // hot pages replicated once per salt under the SAME partitioner
+    // (composite key file + NUL + salt); tiny — hotFiles × width rows —
+    // and reused by every stage like the base layout
+    val hotPages: RDD[(String, (String, Array[Byte]))] =
+      if (hotFiles.isEmpty) null
+      else pagesByFile
+        .filter { case (fl, _) => hotFiles.contains(fl) }
+        .flatMap { case (fl, v) =>
+          (0 until width).iterator.map(s => (fl + "\u0000" + s, v)) }
+        .partitionBy(part)
+        .persist(sl)
+
     /** One stage = one co-partitioned zipPartitions join: the request
       * table (entity-scale by design — the reference's work lists)
       * shuffles into the pages partitioner, each partition builds a
@@ -336,19 +390,39 @@ object MstrJoinPipeline {
       */
     def stage[R: ClassTag](reqs: RDD[(String, R)])(
         f: (Soup, MstrIndexes, Seq[R]) => Seq[Frag]): RDD[Frag] = {
-      val reqsP = reqs.partitionBy(part)
-      pagesByFile.zipPartitions(reqsP) { (pIt, rIt) =>
-        val byFile = new java.util.HashMap[String, mutable.ArrayBuffer[R]]()
-        rIt.foreach { case (fl, r) =>
-          byFile.computeIfAbsent(fl, _ => mutable.ArrayBuffer.empty[R]) += r
+      def leg(pagesRdd: RDD[(String, (String, Array[Byte]))],
+              keyed: RDD[(String, R)]): RDD[Frag] = {
+        val reqsP = keyed.partitionBy(part)
+        pagesRdd.zipPartitions(reqsP) { (pIt, rIt) =>
+          val byFile = new java.util.HashMap[String, mutable.ArrayBuffer[R]]()
+          rIt.foreach { case (fl, r) =>
+            byFile.computeIfAbsent(fl, _ => mutable.ArrayBuffer.empty[R]) += r
+          }
+          // a request-free partition must not even deserialize its pages
+          if (byFile.isEmpty) Iterator.empty
+          else pIt.flatMap { case (file, (_, html)) =>
+            val rs = byFile.get(file)
+            if (rs == null) Nil
+            else f(Soup.parse(TextOps.decodeLatin1(html)), bIdx.value.indexes, rs.toSeq)
+          }
         }
-        // a request-free partition must not even deserialize its pages
-        if (byFile.isEmpty) Iterator.empty
-        else pIt.flatMap { case (file, (_, html)) =>
-          val rs = byFile.get(file)
-          if (rs == null) Nil
-          else f(Soup.parse(TextOps.decodeLatin1(html)), bIdx.value.indexes, rs.toSeq)
-        }
+      }
+      if (hotFiles.isEmpty) leg(pagesByFile, reqs)
+      else {
+        // hot requests split across `width` salted keys against the
+        // replicated hot layout; the salt is a deterministic hash of
+        // the request itself, so both plans and any partitioning see
+        // the same (request → salt) assignment. Each request still
+        // meets its page exactly once — output identity is untouched,
+        // only task granularity changes.
+        val cold = leg(pagesByFile,
+          reqs.filter { case (fl, _) => !hotFiles.contains(fl) })
+        val hotLeg = leg(hotPages,
+          reqs.flatMap { case (fl, r) =>
+            if (!hotFiles.contains(fl)) None
+            else Some((fl + "\u0000" + math.floorMod(r.hashCode, width), r))
+          })
+        cold.union(hotLeg)
       }
     }
 
@@ -366,18 +440,8 @@ object MstrJoinPipeline {
         (fileOf(r), r)
       }
 
-    // ---- stage R: report skeletons + dataset routing ----
-    // one request PER INDEX LINK (`workOf` applies the CLI's
-    // --filter/--report/--report-id narrowing and, on resume, the
-    // committed-key anti-filter): a report id listed twice in the
-    // documento index must yield one output row per link, exactly like
-    // the broadcast engine's per-link flatMap — so the internal group
-    // key is (report_id, link ordinal), folded into one string that all
-    // downstream request/fragment rows carry opaquely. This list is the
-    // single driver-born work table (the documento index is parsed on
-    // the driver — bounded by index-file size); everything after it is
-    // distributed.
-    val reportReqs: Seq[ReportReq] = workOf(indexes.documento)
+    // ---- stage R: report skeletons + dataset routing (work list
+    // `reportReqs` built above, before the hot-file planning) ----
     val reportReqRdd: RDD[(String, ReportReq)] =
       spark.sparkContext.parallelize(reportReqs, math.max(1, math.min(width, reportReqs.size)))
         .map(r => (r.file, r))
@@ -675,9 +739,30 @@ object MstrJoinPipeline {
     // driver should a lost block ever force lineage recompute.
     persisted.foreach(_.unpersist(blocking = false))
     pagesByFile.unpersist(blocking = false)
+    if (hotPages != null) hotPages.unpersist(blocking = false)
     bIdx.unpersist(blocking = false)
     result
   }
+
+  /** Hot-basename detection over request-count proxy populations: each
+    * population (one index's link files, or the stage-R work list)
+    * approximates one stage's request distribution, and a file is hot
+    * when its count exceeds 2× a partition's fair share of THAT
+    * population (floor 64 — a list a single task handles in
+    * milliseconds is never worth splitting, and the even layouts real
+    * exports produce stay far below it). Driver-side, zero Spark jobs.
+    */
+  private[graft] def hotFilesOf(populations: Seq[Iterator[String]],
+                               width: Int): Set[String] =
+    populations.iterator.flatMap { files =>
+      val counts = mutable.Map.empty[String, Long]
+      var total = 0L
+      files.foreach { f =>
+        if (f.nonEmpty) { counts.update(f, counts.getOrElse(f, 0L) + 1L); total += 1L }
+      }
+      val threshold = math.max(64L, 2L * total / math.max(1, width))
+      counts.iterator.filter(_._2 > threshold).map(_._1)
+    }.toSet
 
   /** Pre-file dataset routing — extractDataset's index-only prefix
     * (dataset_extractor.py:21-143): unresolved → empty dataset with

@@ -59,6 +59,40 @@ class MstrJoinSpec extends AnyFunSuite {
     assert(n3 == 0 && io.snapshots().size == snapsBefore)
   }
 
+  test("hot-basename corpus: salted routing engages and stays byte-identical to broadcast") {
+    import spark.implicits._
+    // all 600 cube sections in ONE content file: its request fan-in
+    // exceeds 2x the per-partition fair share, so the join plan must
+    // route it through the salted leg (detection asserted directly
+    // below) and still produce the broadcast plan's exact bytes
+    val pages = graft.fixtures.MstrGen.pages(600, hotCubes = true)
+    val viaBroadcast = MstrPipeline.run(spark, pages, "pt-BR")._1
+      .collect().map(r => r.report_id -> r.json).toMap
+    val viaJoin = MstrJoinPipeline.run(spark,
+      spark.createDataset(pages).repartition(4), "pt-BR")
+      .collect().map(r => r.report_id -> r.json).toMap
+    assert(viaJoin.keySet == viaBroadcast.keySet)
+    viaBroadcast.foreach { case (rid, json) =>
+      assert(viaJoin(rid) == json, s"report $rid diverged on the hot corpus")
+    }
+  }
+
+  test("hot-file detection: 2x fair-share per population, floor 64, even layouts cold") {
+    def files(n: Int, perFile: Int): Iterator[String] =
+      (0 until n).iterator.map(i => s"F_${i / perFile}.html")
+    // one file holding all 600 links of a 600-link population is hot at width 4
+    assert(MstrJoinPipeline.hotFilesOf(Seq(files(600, 600)), 4) == Set("F_0.html"))
+    // spread 10-per-file: fair share 150, nothing crosses 2x
+    assert(MstrJoinPipeline.hotFilesOf(Seq(files(600, 10)), 4).isEmpty)
+    // floor: a 60-request file is never split even at high width
+    assert(MstrJoinPipeline.hotFilesOf(Seq(files(60, 60)), 64).isEmpty)
+    // populations are judged independently: a file dominating a small
+    // index must not hide behind a big one's total
+    assert(MstrJoinPipeline.hotFilesOf(
+      Seq(files(10000, 10), (0 until 500).iterator.map(_ => "Hot.html")), 4)
+      == Set("Hot.html"))
+  }
+
   test("join path never throws on truncated pages and is partition-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
