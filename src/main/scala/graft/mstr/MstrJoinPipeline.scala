@@ -67,23 +67,42 @@ object MstrJoinPipeline {
                                       name: String, file_path: String, json: String)
 
   /** The resume/group key of one documento-index link request. Ordinals
-    * come from the FULL selected work list, so a resume that filters
-    * already-committed links preserves every pending link's key.
+    * are positions in the FULL documento index (not the selected list),
+    * so keys are stable across ANY selection: an interrupted `--filter`
+    * run can resume unfiltered (or vice versa) without a committed key
+    * aliasing a different link or a pending link re-extracting.
     */
   def resumeKeyOf(req: ReportReq): String =
     Soup.splitHref(req.href)._2 + "\u0000" + req.ord
 
   /** The work list `run`/`resumeExtract` derive from the documento
-    * index: one request per index link (ordinal = position in the
-    * selected list), `select` being the CLI's narrowing.
+    * index: one request per index link, `select` being the CLI's
+    * narrowing. Ordinals are the link's position in the FULL index —
+    * selection-independent (see [[resumeKeyOf]]); duplicate identical
+    * links claim successive positions in selection order, and a
+    * selection returning a link the index does not contain (contract
+    * violation) fails loudly.
     */
   def defaultWork(idx: LinkIndex,
-                  select: Option[LinkIndex => Seq[LinkResult]]): Seq[ReportReq] = {
-    val links = select.map(f => f(idx)).getOrElse(idx.links)
-    links.zipWithIndex.map { case (l, i) =>
-      ReportReq(l.file, l.name, l.href, i)
-    }.toSeq
-  }
+                  select: Option[LinkIndex => Seq[LinkResult]]): Seq[ReportReq] =
+    select match {
+      case None =>
+        idx.links.zipWithIndex.map { case (l, i) =>
+          ReportReq(l.file, l.name, l.href, i)
+        }
+      case Some(f) =>
+        val positions = mutable.Map.empty[LinkResult, mutable.Queue[Int]]
+        idx.links.zipWithIndex.foreach { case (l, i) =>
+          positions.getOrElseUpdate(l, mutable.Queue.empty) += i
+        }
+        f(idx).map { l =>
+          val q = positions.getOrElse(l, mutable.Queue.empty)
+          require(q.nonEmpty,
+            s"selection returned a link not present (at this multiplicity) in " +
+              s"the documento index: $l")
+          ReportReq(l.file, l.name, l.href, q.dequeue())
+        }.toSeq
+    }
   final case class DsReq(report_id: String, ds_ord: Int, ds_name: String,
                          ds_id: String, ds_file: String, file: String, source: String)
   final case class AttrReq(report_id: String, ds_ord: Int, ord: Int, official: String,
@@ -172,19 +191,15 @@ object MstrJoinPipeline {
   def run(spark: SparkSession, pagesDs: Dataset[PageRow],
           lang: String = "pt-BR",
           internalShufflePartitions: Int = 4,
-          select: Option[LinkIndex => Seq[LinkResult]] = None): Dataset[ReportJsonRow] = {
-    import spark.implicits._
-    val keyed = runKeyed(spark, pagesDs, lang, internalShufflePartitions,
-      idx => defaultWork(idx, select))
-    // project the resume key away (public row shape unchanged); the
-    // projection is entity-scale over the already-cached keyed rows
-    val result = keyed
-      .map(k => ReportJsonRow(k.report_id, k.name, k.file_path, k.json))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    keyed.unpersist(blocking = false)
-    result
-  }
+          select: Option[LinkIndex => Seq[LinkResult]] = None): Dataset[ReportJsonRow] =
+    // the resume key is projected away BEFORE the single materializing
+    // persist (projecting after it would cache the full JSON payload
+    // twice and scan it one extra time per run)
+    runProjected(spark, pagesDs, lang, internalShufflePartitions,
+      idx => defaultWork(idx, select))(
+      k => ReportJsonRow(k.report_id, k.name, k.file_path, k.json))(
+      scala.reflect.classTag[ReportJsonRow],
+      org.apache.spark.sql.Encoders.product[ReportJsonRow])
 
   /** Resumable join-plan extraction through a [[graft.pipeline.TableIO]]
     * sink — the same snapshot/anti-join contract as the extraction and
@@ -195,8 +210,12 @@ object MstrJoinPipeline {
     *    link ordinal — [[resumeKeyOf]]); reading it is work-list-bounded,
     *    the same driver-memory class as the documento work list itself;
     *  - pending work = the selected work list minus committed keys,
-    *    ordinals from the FULL list so keys are stable across attempts
-    *    (resume with the SAME `select` as the interrupted run);
+    *    ordinals from the FULL documento index so keys are stable across
+    *    attempts under ANY selection (an interrupted `--filter` run may
+    *    resume unfiltered and vice versa — [[resumeKeyOf]]); the scheme
+    *    is pinned by a `key-scheme` marker in the table root, so a table
+    *    committed under a different (or unmarked legacy) scheme fails
+    *    loudly instead of aliasing keys;
     *  - nothing pending commits NO snapshot (no empty-snapshot growth on
     *    a no-op resume), and the union of snapshots after any
     *    interrupt/resume sequence equals a cold one-shot run's rows
@@ -204,11 +223,39 @@ object MstrJoinPipeline {
     *
     * Returns the number of newly committed report rows.
     */
+  /** Resume-key ordinal scheme identifier, pinned per table root. */
+  private val KeyScheme = "full-index-ordinals-v2"
+
+  private def pinKeyScheme(io: graft.pipeline.TableIO): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val marker = Paths.get(io.root, "key-scheme")
+    if (Files.exists(marker)) {
+      val prior = new String(Files.readAllBytes(marker), "UTF-8").trim
+      require(prior == KeyScheme,
+        s"resume table ${io.root} was committed under key scheme '$prior' but " +
+          s"this build writes '$KeyScheme' — resuming would alias committed " +
+          "keys; export the old table and start a fresh root")
+    } else {
+      // an unmarked table that already holds rows predates the marker
+      // (selection-relative ordinals) — refuse rather than duplicate or
+      // skip links whose ordinals shifted
+      require(io.snapshots().isEmpty,
+        s"resume table ${io.root} has committed rows but no key-scheme marker " +
+          "(written by an older build with selection-relative ordinals) — " +
+          "resuming would alias committed keys; start a fresh root")
+      Files.createDirectories(Paths.get(io.root))
+      val tmp = Paths.get(io.root, ".key-scheme.tmp")
+      Files.write(tmp, KeyScheme.getBytes("UTF-8"))
+      Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   def resumeExtract(spark: SparkSession, pagesDs: Dataset[PageRow],
                     io: graft.pipeline.TableIO,
                     lang: String = "pt-BR",
                     internalShufflePartitions: Int = 4,
                     select: Option[LinkIndex => Seq[LinkResult]] = None): Long = {
+    pinKeyScheme(io)
     val committed: Set[String] = io.readTable(spark)
       .map(_.select(col("resume_key")).distinct()
         .collect().iterator.map(_.getString(0)).toSet)
@@ -221,14 +268,26 @@ object MstrJoinPipeline {
     n
   }
 
-  /** The staged pipeline proper, parameterized by the work-list builder
-    * and returning resume-keyed rows (callers: [[run]] projects the key
-    * away, [[resumeExtract]] commits it).
-    */
+  /** [[runProjected]] keeping the resume key ([[resumeExtract]]'s shape). */
   def runKeyed(spark: SparkSession, pagesDs: Dataset[PageRow],
                lang: String,
                internalShufflePartitions: Int,
-               workOf: LinkIndex => Seq[ReportReq]): Dataset[KeyedReportJsonRow] = {
+               workOf: LinkIndex => Seq[ReportReq]): Dataset[KeyedReportJsonRow] =
+    runProjected(spark, pagesDs, lang, internalShufflePartitions, workOf)(identity)(
+      scala.reflect.classTag[KeyedReportJsonRow],
+      org.apache.spark.sql.Encoders.product[KeyedReportJsonRow])
+
+  /** The staged pipeline proper, parameterized by the work-list builder
+    * and the final row projection — applied BEFORE the one materializing
+    * persist, so the pipeline caches exactly the rows its caller keeps
+    * ([[run]] drops the resume key, [[resumeExtract]] commits it).
+    */
+  def runProjected[T: ClassTag](spark: SparkSession, pagesDs: Dataset[PageRow],
+                      lang: String,
+                      internalShufflePartitions: Int,
+                      workOf: LinkIndex => Seq[ReportReq])(
+                      project: KeyedReportJsonRow => T)(
+                      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     val indexFiles = indexFileSet(MstrLocale.forLang(lang))
     // AQE's stage-by-stage materialization adds a driver job every time
     // the pages Dataset-to-RDD lineage is re-executed, and the staged
@@ -258,7 +317,8 @@ object MstrJoinPipeline {
       val indexHtml: Map[String, String] =
         idxRows.iterator.map { case (f, (_, h)) => f -> TextOps.decodeLatin1(h) }.toMap
 
-      runScoped(spark, urlHtml, lang, workOf, indexHtml, internalShufflePartitions)
+      runScoped(spark, urlHtml, lang, workOf, indexHtml,
+        internalShufflePartitions)(project)(implicitly, enc)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
@@ -267,13 +327,14 @@ object MstrJoinPipeline {
       loc.atalho, loc.metrica, loc.fato, loc.funcao, loc.atributo, loc.tabelaLogica,
       loc.pasta)
 
-  private def runScoped(spark: SparkSession,
-                        urlHtml: RDD[(String, Array[Byte])],
-                        lang: String,
-                        workOf: LinkIndex => Seq[ReportReq],
-                        indexHtml: Map[String, String],
-                        internalShufflePartitions: Int): Dataset[KeyedReportJsonRow] = {
-    import spark.implicits._
+  private def runScoped[T: ClassTag](spark: SparkSession,
+                           urlHtml: RDD[(String, Array[Byte])],
+                           lang: String,
+                           workOf: LinkIndex => Seq[ReportReq],
+                           indexHtml: Map[String, String],
+                           internalShufflePartitions: Int)(
+                           project: KeyedReportJsonRow => T)(
+                           implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     val loc = MstrLocale.forLang(lang)
     val indexFiles: Set[String] = indexFileSet(loc)
 
@@ -728,7 +789,7 @@ object MstrJoinPipeline {
       prof(s"  allFrags: ${allFrags.count()} rows")
       prof(s"  assembled rdd: ${assembled.count()} rows")
     }
-    val result = spark.createDataset(assembled).persist(sl)
+    val result = spark.createDataset(assembled.map(project))(enc).persist(sl)
     result.count()
     prof("assembly done")
     // the intermediate caches served their purpose during assembly —

@@ -201,9 +201,15 @@ object MstrMain {
                 select = Some(idx => selectReports(idx, cfg)))
               println(s"Committed $n new report(s) [join plan, resumable]: $tableDir")
               cfg.outputJson.foreach { out =>
-                io.readTable(spark).foreach(_.drop("resume_key")
-                  .write.mode("overwrite").parquet(out))
-                println(s"JSON export completed: $out")
+                io.readTable(spark) match {
+                  case Some(t) =>
+                    t.drop("resume_key").write.mode("overwrite").parquet(out)
+                    println(s"JSON export completed: $out")
+                  case None =>
+                    // nothing ever committed: claiming success would point
+                    // consumers at a nonexistent (or stale) export path
+                    println(s"JSON export skipped (no committed reports): $out")
+                }
               }
             case None =>
               val (plan, reports) = extractFromParquet(spark, p, cfg)

@@ -292,8 +292,9 @@ object CorpusOps {
     *  - `extracted/` — per-URL incremental (the resumeExtract contract):
     *    only pages whose url is uncommitted are parsed;
     *  - `survivors/` — corpus-global (dedup sees every doc), so it is
-    *    stage-level: reused verbatim when its recorded input row count
-    *    matches the live extracted table, recomputed otherwise;
+    *    stage-level: reused verbatim when its recorded input-set
+    *    fingerprint matches the live extracted table, recomputed
+    *    otherwise;
     *  - `decisions/` — per-doc incremental (the
     *    [[filterPipelineIncremental]] contract): committed keep/drop
     *    decisions are skipped by an anti-join BEFORE any signal
@@ -301,7 +302,7 @@ object CorpusOps {
     *    does not re-decide them (same published contract as the
     *    standalone incremental filter);
     *  - `packed/` — pack offsets are cumulative within a bucket, so
-    *    stage-level like survivors, keyed by the kept-doc count.
+    *    stage-level like survivors, keyed by the kept-set fingerprint.
     *
     * Dedup semantics: exact keeps the min doc_id per md5(text) group;
     * near-dup drops every doc whose LSH connected component has a
@@ -325,21 +326,27 @@ object CorpusOps {
     // ---- stage E: extraction, per-url incremental ----
     val extractIo = new graft.pipeline.TableIO(s"$tableRoot/extracted")
     val pages = ExtractOps.documentsAsPages(spark, dir)
+    // persisted: the emptiness probe and the extraction read the same
+    // pending set — without the cache the page synthesis (wrapHtml over
+    // the whole corpus) plus the anti-join would run twice
     val todoPages = extractIo.pending(pages.toDF(), "url").as[graft.pipeline.PageRow]
-    // a no-op resume must not grow the manifest by an empty snapshot
-    if (!todoPages.isEmpty)
-      extractIo.appendSnapshot(
-        graft.pipeline.ExtractPipeline.run(todoPages, "utf-8").toDF())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // a no-op resume must not grow the manifest by an empty snapshot
+      if (!todoPages.isEmpty)
+        extractIo.appendSnapshot(
+          graft.pipeline.ExtractPipeline.run(todoPages, "utf-8").toDF())
+    } finally todoPages.unpersist(blocking = false)
     val extracted = extractIo.readTable(spark).get
       .select(
         regexp_extract(col("url"), "doc://(\\d+)", 1).cast("long").as("doc_id"),
         col("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val nExtracted = extracted.count()
+      val extractedFp = setFingerprint(extracted)
 
       // ---- stage D: dedup survivors, stage-level ----
-      val survivors = stageTable(spark, s"$tableRoot/survivors", nExtracted) {
+      val survivors = stageTable(spark, s"$tableRoot/survivors", extractedFp) {
         val exactKept = extracted
           .groupBy(md5(col("text")).as("digest"))
           .agg(min(col("doc_id")).as("doc_id"))
@@ -367,11 +374,33 @@ object CorpusOps {
         .join(survivors, Seq("doc_id"))
 
       // ---- stage P: pack, stage-level ----
-      val nKept = kept.count()
-      stageTable(spark, s"$tableRoot/packed", nKept) {
+      // keyed by a SET fingerprint, not a count: the kept set is
+      // non-monotone (a corpus growth can evict a previously-kept doc
+      // whose grown LSH component found a smaller representative while
+      // admitting a new one), so an equal count does not imply an equal
+      // set — a count key would silently reuse a stale packed table
+      stageTable(spark, s"$tableRoot/packed", setFingerprint(kept)) {
         packSequencesOf(extracted.join(kept, Seq("doc_id")))
       }
     } finally extracted.unpersist(blocking = false)
+  }
+
+  /** Order-independent fingerprint of a doc_id set: count mixed with
+    * the XOR of per-id hashes (xxhash64 — internal staleness key only,
+    * never oracle-compared; XOR, not sum, because ANSI mode makes a
+    * long-sum overflow throw, and doc_ids are distinct within a set so
+    * XOR cancellation needs a hash collision). Empty set → 0.
+    * Collisions would need two different kept sets agreeing on both
+    * count and hash XOR — negligible next to the failure mode this
+    * replaces (count-only keys reusing a stale table after an
+    * equal-size set shift).
+    */
+  private def setFingerprint(df: DataFrame): Long = {
+    val r = df.agg(
+      count(lit(1)).as("c"),
+      coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("h")).head
+    val c = r.getLong(0)
+    if (c == 0L) 0L else c * 1000003L ^ r.getLong(1)
   }
 
   /** [[corpusEndToEnd]] with the table root derived from the corpus
@@ -387,24 +416,28 @@ object CorpusOps {
   }
 
   /** Stage-level resume for corpus-global stages: the committed table is
-    * reused verbatim iff the input row count recorded at commit time
-    * (`src_rows`, a constant column) matches the live input; any
-    * mismatch — missing table, partial upstream state, grown corpus —
-    * recomputes and replaces. A crash mid-write never corrupts: the
-    * manifest install is atomic, so the rerun sees the previous (or no)
-    * commit and recomputes.
+    * reused verbatim iff the input-set fingerprint recorded at commit
+    * time (`src_fp`, a constant column — [[setFingerprint]]) matches the
+    * live input; any mismatch — missing table, partial upstream state,
+    * grown or shifted input set — recomputes and replaces. A crash
+    * mid-write never corrupts: the manifest install is atomic, so the
+    * rerun sees the previous (or no) commit and recomputes.
     */
-  private def stageTable(spark: SparkSession, root: String, inputRows: Long)
+  private def stageTable(spark: SparkSession, root: String, inputFp: Long)
                         (compute: => DataFrame): DataFrame = {
     val io = new graft.pipeline.TableIO(root)
     val fresh = io.readTable(spark).exists { df =>
-      val m = df.select(max(col("src_rows"))).head
-      // an empty committed table carries no src_rows value; both stages
-      // produce empty output iff their input was empty, so it is fresh
-      // exactly when the live input is empty too
-      if (m.isNullAt(0)) inputRows == 0L else m.getLong(0) == inputRows
+      // a table written under an older key scheme (no src_fp column)
+      // is simply stale — recompute, never crash
+      df.columns.contains("src_fp") && {
+        val m = df.select(max(col("src_fp"))).head
+        // an empty committed table carries no src_fp value; both stages
+        // produce empty output iff their input was empty, so it is fresh
+        // exactly when the live input is empty too (fingerprint 0)
+        if (m.isNullAt(0)) inputFp == 0L else m.getLong(0) == inputFp
+      }
     }
-    if (!fresh) io.replaceWith(compute.withColumn("src_rows", lit(inputRows)))
-    io.readTable(spark).get.drop("src_rows")
+    if (!fresh) io.replaceWith(compute.withColumn("src_fp", lit(inputFp)))
+    io.readTable(spark).get.drop("src_fp")
   }
 }

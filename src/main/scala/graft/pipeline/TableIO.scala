@@ -19,7 +19,7 @@ import java.nio.charset.StandardCharsets
   * the committed key column, so a re-run after a partial failure
   * processes only missing rows and converges to the identical table.
   */
-final class TableIO(root: String) {
+final class TableIO(val root: String) {
   import TableIO.Snapshot
   private val manifestPath = Paths.get(root, "manifest.json")
 

@@ -430,6 +430,47 @@ object StreamingExtract {
     import org.apache.spark.sql.functions.{col, max => smax}
     val staged =
       if (stagedDir != null) stagedDir else sinkDir.stripSuffix("/") + "-staged"
+    // the verify mode is baked into the band STATE's stored payloads
+    // (signatures vs raw text): flipping it against an existing
+    // checkpoint would silently compare one representation against the
+    // other and mis-judge every candidate — pin the mode at first run
+    // and fail loudly on mismatch
+    val modePath = new org.apache.hadoop.fs.Path(s"$checkpointDir/verify-mode")
+    val votesPath = new org.apache.hadoop.fs.Path(s"$checkpointDir/votes")
+    val modeFs = modePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mode = if (exactVerify) "exact" else "signature"
+    if (modeFs.exists(modePath)) {
+      val in = modeFs.open(modePath)
+      val prior = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+      require(prior == mode,
+        s"near-dup checkpoint $checkpointDir was created with verify mode " +
+          s"'$prior' but this run requests '$mode' — state payloads are not " +
+          "comparable across modes; use a fresh checkpoint (and sink) to switch")
+    } else {
+      // an unmarked checkpoint that already has vote state predates the
+      // marker — its payload representation is unknowable, so refuse
+      // rather than bless it with whatever this run happens to request
+      require(!modeFs.exists(votesPath),
+        s"near-dup checkpoint $checkpointDir has vote state but no verify-mode " +
+          "marker (created before the marker existed) — its stored payload " +
+          "representation cannot be validated; use a fresh checkpoint (and sink)")
+      // atomic publication: a crash mid-write must not leave a zero-byte
+      // marker that wedges every later run
+      val tmp = new org.apache.hadoop.fs.Path(s"$checkpointDir/.verify-mode.tmp")
+      val out = modeFs.create(tmp, true)
+      try out.write(mode.getBytes("UTF-8")) finally out.close()
+      if (!modeFs.rename(tmp, modePath)) {
+        // a concurrent writer won the rename — its pinned mode governs
+        modeFs.delete(tmp, false)
+        val in2 = modeFs.open(modePath) // missing too → loud IO error
+        val winner = try scala.io.Source.fromInputStream(in2, "UTF-8").mkString.trim
+                     finally in2.close()
+        require(winner == mode,
+          s"near-dup checkpoint $checkpointDir was concurrently pinned to verify " +
+            s"mode '$winner' but this run requests '$mode'")
+      }
+    }
     stageExtractAvailableNow(spark, sourceDir, staged, s"$checkpointDir/stage", charset)
     // an empty source stages nothing: no staging table means no votes
     val fs = new org.apache.hadoop.fs.Path(staged)

@@ -57,6 +57,14 @@ class MstrJoinSpec extends AnyFunSuite {
     val snapsBefore = io.snapshots().size
     val n3 = MstrJoinPipeline.resumeExtract(spark, pagesDs, io)
     assert(n3 == 0 && io.snapshots().size == snapsBefore)
+
+    // key-scheme guard: a committed table without the marker (a legacy
+    // selection-relative-ordinal table) must refuse to resume — its
+    // keys could alias the full-index ordinals this build writes
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "key-scheme"))
+    intercept[IllegalArgumentException] {
+      MstrJoinPipeline.resumeExtract(spark, pagesDs, io)
+    }
   }
 
   test("hot-basename corpus: salted routing engages and stays byte-identical to broadcast") {
