@@ -232,6 +232,11 @@ object SimilarityOps {
     * real corpora. The query's value is the NUMBER: a parameter
     * regression (nProbe, nCentroids, stride) now moves an
     * oracle-checked value instead of silently degrading.
+    *
+    * The gauge recomputes the exact brute-force top-k for its `nQueries`
+    * probes — right for an oracle-gated fixture gauge, but at production
+    * scale keep `nQueries` a small SAMPLE of the corpus (the exact leg
+    * is O(nQueries × corpus)); never point it at every vector.
     */
   def annRecall(spark: SparkSession, dir: String, k: Int = 5,
                 nQueries: Int = 10, nCentroids: Int = 16,
