@@ -325,18 +325,24 @@ object CorpusOps {
 
     // ---- stage E: extraction, per-url incremental ----
     val extractIo = new graft.pipeline.TableIO(s"$tableRoot/extracted")
-    val pages = ExtractOps.documentsAsPages(spark, dir)
-    // persisted: the emptiness probe and the extraction read the same
-    // pending set — without the cache the page synthesis (wrapHtml over
-    // the whole corpus) plus the anti-join would run twice
-    val todoPages = extractIo.pending(pages.toDF(), "url").as[graft.pipeline.PageRow]
+    // the pending anti-join runs over a urls-only projection (doc_id →
+    // "doc://<id>", the documentsAsPages url rule) so committed docs
+    // never pay page synthesis and no page body rides the anti-join —
+    // only the pending ids' pages are ever built
+    val pendingIds = extractIo.pending(
+      docs(spark, dir).select(col("doc_id"),
+        concat(lit("doc://"), col("doc_id").cast("string")).as("url")), "url")
+      .select(col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // a no-op resume must not grow the manifest by an empty snapshot
-      if (!todoPages.isEmpty)
+      if (!pendingIds.isEmpty) {
+        val todoDir = docs(spark, dir).join(pendingIds, Seq("doc_id"))
+        val todoPages = ExtractOps.documentsAsPagesOf(todoDir)
         extractIo.appendSnapshot(
           graft.pipeline.ExtractPipeline.run(todoPages, "utf-8").toDF())
-    } finally todoPages.unpersist(blocking = false)
+      }
+    } finally pendingIds.unpersist(blocking = false)
     val extracted = extractIo.readTable(spark).get
       .select(
         regexp_extract(col("url"), "doc://(\\d+)", 1).cast("long").as("doc_id"),

@@ -33,9 +33,18 @@ object ExtractOps {
   }
 
   /** documents(dir) as a pages table: (url, warc_ts, html, text, lang). */
-  def documentsAsPages(spark: SparkSession, dir: String): Dataset[PageRow] = {
+  def documentsAsPages(spark: SparkSession, dir: String): Dataset[PageRow] =
+    documentsAsPagesOf(spark.read.parquet(s"$dir/documents.parquet"))
+
+  /** [[documentsAsPages]] over a caller-supplied documents slice — the
+    * incremental hook: a resume synthesizes pages ONLY for pending
+    * doc_ids instead of wrapping the whole corpus to throw most of it
+    * away in the anti-join.
+    */
+  def documentsAsPagesOf(docsDf: DataFrame): Dataset[PageRow] = {
+    val spark = docsDf.sparkSession
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsDf
       .select(col("doc_id"), col("text"), col("lang"))
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>

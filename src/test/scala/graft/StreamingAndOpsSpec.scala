@@ -161,6 +161,17 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     assert(out2.filter(col("url") === "https://b.example/9").isEmpty)
     assert(out2.filter(col("url") === "https://a.example/3").count() == 1,
       "a same-url near-identical recrawl must not append a second row")
+
+    // the verify mode is pinned per checkpoint: the band state above
+    // stores SIGNATURE payloads, so a later run requesting exact-text
+    // verification against the same checkpoint must refuse loudly
+    // (silently shingling signatures as if they were text would
+    // mis-judge every candidate)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingExtract.runNearDupDedupAvailableNow(spark, src, sink, ckpt,
+        exactVerify = true)
+    }
+    assert(ex.getMessage.contains("verify mode"))
   }
 
   test("near-dup state holds signatures only — no document text in the checkpoint") {
