@@ -262,12 +262,23 @@ object TableIO {
 
   /** Resumable run: extract + commit only pages whose url is not yet in
     * the output table. Returns the number of newly committed rows.
+    *
+    * Shuffle shape at crawl scale: the pending set is found by an
+    * anti-join over a urls-only projection (the pruned scan reads no
+    * page bodies), and the html column joins back by a semi join
+    * against those pending urls — on an incremental resume the pending
+    * side is small enough to broadcast, so no page body ever crosses an
+    * exchange. The naive single anti-join (pages WITH html vs the
+    * committed-url set) degrades to a sort-merge join on a mature table
+    * whose committed side outgrows the broadcast threshold, shuffling
+    * every page body to discover that most are already done.
     */
   def resumeExtract(io: TableIO, pages: Dataset[PageRow], charset: String = "utf-8",
                     numPartitions: Int = 0): Long = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val todo = io.pending(pages.toDF(), "url").as[PageRow]
+    val pendingUrls = io.pending(pages.select(col("url")), "url")
+    val todo = pages.join(pendingUrls, Seq("url"), "left_semi").as[PageRow]
     val extracted = ExtractPipeline.run(todo, charset, numPartitions)
     val snap = io.appendSnapshot(extracted.toDF())
     snap.rows

@@ -126,6 +126,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("resumeExtract pending plan: no page body crosses an exchange") {
+    import spark.implicits._
+    // parquet-backed pages + a committed table, exactly the resume shape
+    val pdir = java.nio.file.Files.createTempDirectory("plan-pages").toString
+    val fixtures = graft.fixtures.WebCorpus.generate(400)
+    spark.createDataset(fixtures.map(_.page)).write.parquet(s"$pdir/pages")
+    val root = java.nio.file.Files.createTempDirectory("plan-table").toString
+    val io = new graft.pipeline.TableIO(root)
+    val pages = spark.read.parquet(s"$pdir/pages").as[graft.pipeline.PageRow]
+    graft.pipeline.TableIO.resumeExtract(io, pages.filter(_.url.hashCode % 4 != 0))
+    // the two-phase pending: urls-only anti-join, html re-joined by semi
+    val pendingUrls = io.pending(pages.select($"url").toDF(), "url")
+    val todo = pages.join(pendingUrls, Seq("url"), "left_semi")
+    // the AQE wrapper is childless until run, so walk the printed tree:
+    // every Exchange's subtree (lines indented deeper than it) must be
+    // url-only — a page-body (html) scan below an exchange means page
+    // bytes shuffle/broadcast just to discover they were already done
+    val lines = todo.queryExecution.executedPlan.toString.split("\n")
+    def indent(l: String): Int = l.indexWhere(_.isLetter)
+    val exchangeIdx = lines.indices.filter(i => lines(i).contains("Exchange"))
+    assert(exchangeIdx.nonEmpty, "expected the pending-url exchanges to exist")
+    assert(lines.exists(_.contains("html")), "sanity: the html scan must exist")
+    exchangeIdx.foreach { i =>
+      val d = indent(lines(i))
+      var j = i + 1
+      while (j < lines.length && indent(lines(j)) > d) {
+        assert(!lines(j).contains("html"),
+          s"page-body scan below an exchange in the resume pending plan:\n${lines(j)}")
+        j += 1
+      }
+    }
+  }
+
   test("q_domain_cap: map-side partial top-k (WindowGroupLimit) before the exchange") {
     val p = plan("q_domain_cap")
     val partial = p.indexOf("WindowGroupLimit")
