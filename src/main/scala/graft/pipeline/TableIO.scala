@@ -165,14 +165,29 @@ final class TableIO(val root: String) {
   }
 
   /** Input rows not yet present in the committed table, by key column.
-    * Broadcast-anti-join when the committed key set is small; plain
-    * shuffled anti-join otherwise (Spark/AQE decides from stats).
+    *
+    * Two-phase shape so no payload column ever crosses an exchange: the
+    * anti-join runs over keys alone (both scans prune to the key
+    * column), and the input's full rows re-join by a semi join against
+    * the surviving pending keys — broadcastable on an incremental
+    * resume, so wide columns (page html, document text) stay in their
+    * scan. A single anti-join of the FULL input against the committed
+    * keys degrades to a sort-merge join once the committed side
+    * outgrows the broadcast threshold on a mature table, shuffling
+    * every payload byte to discover most rows are already done
+    * (PlanSpec pins the pruned shape). Null-key rows can never be
+    * committed and are always pending (a bare semi join would silently
+    * drop them where the old anti-join kept them).
     */
   def pending(input: DataFrame, keyCol: String): DataFrame =
     readTable(input.sparkSession) match {
       case None => input
       case Some(committed) =>
-        input.join(committed.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        val pendingKeys = input.select(col(keyCol)).where(col(keyCol).isNotNull)
+          .distinct()
+          .join(committed.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        input.join(pendingKeys, Seq(keyCol), "left_semi")
+          .unionByName(input.filter(col(keyCol).isNull))
     }
 
   /** `MERGE INTO`-shaped upsert (Iceberg's idempotent-sink analog, the
@@ -262,23 +277,14 @@ object TableIO {
 
   /** Resumable run: extract + commit only pages whose url is not yet in
     * the output table. Returns the number of newly committed rows.
-    *
-    * Shuffle shape at crawl scale: the pending set is found by an
-    * anti-join over a urls-only projection (the pruned scan reads no
-    * page bodies), and the html column joins back by a semi join
-    * against those pending urls — on an incremental resume the pending
-    * side is small enough to broadcast, so no page body ever crosses an
-    * exchange. The naive single anti-join (pages WITH html vs the
-    * committed-url set) degrades to a sort-merge join on a mature table
-    * whose committed side outgrows the broadcast threshold, shuffling
-    * every page body to discover that most are already done.
+    * [[TableIO.pending]]'s two-phase shape keeps page bodies out of the
+    * anti-join exchanges.
     */
   def resumeExtract(io: TableIO, pages: Dataset[PageRow], charset: String = "utf-8",
                     numPartitions: Int = 0): Long = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val pendingUrls = io.pending(pages.select(col("url")), "url")
-    val todo = pages.join(pendingUrls, Seq("url"), "left_semi").as[PageRow]
+    val todo = io.pending(pages.toDF(), "url").as[PageRow]
     val extracted = ExtractPipeline.run(todo, charset, numPartitions)
     val snap = io.appendSnapshot(extracted.toDF())
     snap.rows

@@ -136,9 +136,8 @@ class PlanSpec extends AnyFunSuite {
     val io = new graft.pipeline.TableIO(root)
     val pages = spark.read.parquet(s"$pdir/pages").as[graft.pipeline.PageRow]
     graft.pipeline.TableIO.resumeExtract(io, pages.filter(_.url.hashCode % 4 != 0))
-    // the two-phase pending: urls-only anti-join, html re-joined by semi
-    val pendingUrls = io.pending(pages.select($"url").toDF(), "url")
-    val todo = pages.join(pendingUrls, Seq("url"), "left_semi")
+    // pending() is two-phase: urls-only anti-join, html re-joined by semi
+    val todo = io.pending(pages.toDF(), "url")
     // the AQE wrapper is childless until run, so walk the printed tree:
     // every Exchange's subtree (lines indented deeper than it) must be
     // url-only — a page-body (html) scan below an exchange means page
