@@ -326,12 +326,12 @@ object CorpusOps {
     // ---- stage E: extraction, per-url incremental ----
     val extractIo = new graft.pipeline.TableIO(s"$tableRoot/extracted")
     // the pending anti-join runs over a urls-only projection (doc_id →
-    // "doc://<id>", the documentsAsPages url rule) so committed docs
+    // ExtractOps.docUrlCol, the documentsAsPages url rule) so committed docs
     // never pay page synthesis and no page body rides the anti-join —
     // only the pending ids' pages are ever built
     val pendingIds = extractIo.pending(
       docs(spark, dir).select(col("doc_id"),
-        concat(lit("doc://"), col("doc_id").cast("string")).as("url")), "url")
+        ExtractOps.docUrlCol(col("doc_id")).as("url")), "url")
       .select(col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -345,7 +345,7 @@ object CorpusOps {
     } finally pendingIds.unpersist(blocking = false)
     val extracted = extractIo.readTable(spark).get
       .select(
-        regexp_extract(col("url"), "doc://(\\d+)", 1).cast("long").as("doc_id"),
+        ExtractOps.docIdCol(col("url")).as("doc_id"),
         col("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {

@@ -16,6 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object ExtractOps {
 
+  /** The documents→pages url rule, in its three faces. All derivations
+    * of a synthetic page url from a doc_id — and every inverse — MUST
+    * go through these: the resume machinery anti-joins a cheap
+    * urls-only projection ([[docUrlCol]]) against urls committed by the
+    * row-building face ([[docUrl]]); a silent divergence between the
+    * two would make every resume re-extract the whole corpus and
+    * append duplicate urls. ExtractOpsSpec pins column == literal.
+    */
+  def docUrl(id: Long): String = s"doc://$id"
+
+  /** [[docUrl]] as a column expression over a numeric doc_id. */
+  def docUrlCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("doc://"), docId.cast("string"))
+
+  /** Inverse of [[docUrl]]: doc_id back out of a page url. */
+  def docIdCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(url, "doc://(\\d+)", 1).cast("long")
+
   /** Deterministic page wrapper (no RNG — parity is the point). */
   def wrapHtml(text: String): Array[Byte] = {
     val nav = (1 to 8).map(i => s"""<li><a href="/nav$i">nav item $i</a></li>""")
@@ -48,7 +66,7 @@ object ExtractOps {
       .select(col("doc_id"), col("text"), col("lang"))
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
-        PageRow(s"doc://$id", new java.sql.Timestamp(1577836800000L + id),
+        PageRow(docUrl(id), new java.sql.Timestamp(1577836800000L + id),
           wrapHtml(text), "", lang)
       }
   }
@@ -59,7 +77,7 @@ object ExtractOps {
     val pages = documentsAsPages(spark, dir)
     ExtractPipeline.run(pages, charset = "utf-8")
       .select(
-        regexp_extract(col("url"), "doc://(\\d+)", 1).cast("long").as("doc_id"),
+        docIdCol(col("url")).as("doc_id"),
         col("text"))
   }
 
@@ -70,7 +88,7 @@ object ExtractOps {
   def roundtripExpr(spark: SparkSession, dir: String): DataFrame = {
     val pages = documentsAsPages(spark, dir).toDF()
     pages.select(
-      regexp_extract(col("url"), "doc://(\\d+)", 1).cast("long").as("doc_id"),
+      docIdCol(col("url")).as("doc_id"),
       graft.functions.GraftFunctions.extract_main_text(col("html"), lit("utf-8")).as("text"))
   }
 
@@ -86,12 +104,12 @@ object ExtractOps {
       .select(col("doc_id"), col("text"), col("lang"))
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
-        PageRow(s"doc://$id", new java.sql.Timestamp(1577836800000L + id),
+        PageRow(docUrl(id), new java.sql.Timestamp(1577836800000L + id),
           graft.pdf.PdfGen.pdf(Seq(text), flate = id % 2 == 0), "", lang)
       }
     ExtractPipeline.run(pages, charset = "utf-8")
       .select(
-        regexp_extract(col("url"), "doc://(\\d+)", 1).cast("long").as("doc_id"),
+        docIdCol(col("url")).as("doc_id"),
         col("text"))
   }
 

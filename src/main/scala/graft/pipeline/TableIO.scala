@@ -177,7 +177,18 @@ final class TableIO(val root: String) {
     * every payload byte to discover most rows are already done
     * (PlanSpec pins the pruned shape). Null-key rows can never be
     * committed and are always pending (a bare semi join would silently
-    * drop them where the old anti-join kept them).
+    * drop them where the old anti-join kept them) — they ride the same
+    * payload pass as a left-join non-match rather than a second scan.
+    *
+    * `input` is referenced twice (the keys branch and the payload
+    * branch), which is free when Catalyst can column-prune it to the
+    * key (any relational source: parquet, committed tables). An input
+    * that Catalyst canNOT prune through — a typed `.map` synthesizing
+    * rows — is computed in full in BOTH branches; for those, resolve
+    * pending keys over a cheap key-only projection first and build
+    * payload rows only for survivors (the
+    * [[graft.ops.CorpusOps.corpusEndToEnd]] stage-E shape, via
+    * [[graft.ops.ExtractOps.docUrlCol]]).
     */
   def pending(input: DataFrame, keyCol: String): DataFrame =
     readTable(input.sparkSession) match {
@@ -186,8 +197,10 @@ final class TableIO(val root: String) {
         val pendingKeys = input.select(col(keyCol)).where(col(keyCol).isNotNull)
           .distinct()
           .join(committed.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        input.join(pendingKeys, Seq(keyCol), "left_semi")
-          .unionByName(input.filter(col(keyCol).isNull))
+          .withColumn("__graft_pending", lit(true))
+        input.join(pendingKeys, Seq(keyCol), "left")
+          .where(col("__graft_pending").isNotNull || col(keyCol).isNull)
+          .select(input.columns.map(col): _*)
     }
 
   /** `MERGE INTO`-shaped upsert (Iceberg's idempotent-sink analog, the

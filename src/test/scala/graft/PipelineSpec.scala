@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import graft.fixtures.WebCorpus
 import graft.pipeline.{ExtractPipeline, PageRow, PartitionLineage, TableIO}
 
@@ -102,6 +103,24 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id", "lang_ok", "quality_ok", "repetition_ok", "decontam_ok", "keep")
       .collect().map(_.toString).sorted.toSeq
     assert(resumedTable == oneShot)
+  }
+
+  test("doc url rule: column form is byte-identical to the literal form (resume key contract)") {
+    // ExtractOps.docUrlCol is the anti-join key corpusEndToEnd resolves
+    // pending docs with; ExtractOps.docUrl is the url the committed page
+    // rows actually carry. If they ever diverge, resumes silently
+    // re-extract the whole corpus and append duplicate urls — so pin
+    // column == literal == inverse over ids spanning digit-length edges.
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 9L, 10L, 99L, 12345L, 1000000007L, Long.MaxValue)
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"), graft.ops.ExtractOps.docUrlCol(col("doc_id")).as("url"))
+      .withColumn("back", graft.ops.ExtractOps.docIdCol(col("url")))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    got.foreach { case (id, url, back) =>
+      assert(url == graft.ops.ExtractOps.docUrl(id), s"column/literal url rule diverged at $id")
+      assert(back == id, s"docIdCol is not the inverse of docUrl at $id")
+    }
   }
 
   test("TableIO resume: partial commit + rerun converges to identical full table") {

@@ -141,9 +141,12 @@ class PlanSpec extends AnyFunSuite {
     // the AQE wrapper is childless until run, so walk the printed tree:
     // every Exchange's subtree (lines indented deeper than it) must be
     // url-only — a page-body (html) scan below an exchange means page
-    // bytes shuffle/broadcast just to discover they were already done
+    // bytes shuffle/broadcast just to discover they were already done.
+    // Depth = tree-art prefix length ("+- "/":- " plus "   "/":  "
+    // continuations), NOT first-letter index: a codegen "*(3) " prefix
+    // or a letterless line would make first-letter depth lie.
     val lines = todo.queryExecution.executedPlan.toString.split("\n")
-    def indent(l: String): Int = l.indexWhere(_.isLetter)
+    def indent(l: String): Int = "^[ :+-]*".r.findFirstIn(l).getOrElse("").length
     val exchangeIdx = lines.indices.filter(i => lines(i).contains("Exchange"))
     assert(exchangeIdx.nonEmpty, "expected the pending-url exchanges to exist")
     assert(lines.exists(_.contains("html")), "sanity: the html scan must exist")
