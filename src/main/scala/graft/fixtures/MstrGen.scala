@@ -57,9 +57,19 @@ object MstrGen {
     * produce, which concentrates the whole dataset-stage request list
     * on a single basename (the hot-basename skew scenario the join
     * plan's salted request routing exists for).
+    *
+    * `fanInCube=true` is the orthogonal skew shape: every report
+    * references THE SAME cube section (one dataset shared by all —
+    * "everything reads the corporate base cube"). The dataset-stage
+    * request list concentrates on a file that holds only its normal
+    * handful of index links, so planning-time link counting CANNOT see
+    * it — only the measured per-file request counts riding the stage
+    * probes can. The fan-in cascades: that cube's attributes/metrics/
+    * facts receive every report's follow-up requests too.
     */
   def corpus(n: Int, loc: MstrLocale = MstrLocale.ptBR,
-             hotCubes: Boolean = false): Map[String, String] = {
+             hotCubes: Boolean = false,
+             fanInCube: Boolean = false): Map[String, String] = {
     val s = Sizes(n)
     import s._
     val lb = labelsFor(loc)
@@ -112,9 +122,13 @@ object MstrGen {
       // every 5th report ALSO references the previous report's cube
       // (dataset sharing → cross-report metric reuse), every 4th gets a
       // report-type dataset
+      // fanInCube: every report's primary dataset IS cube 0 (and the
+      // every-5th sharing link is dropped — it would duplicate cube 0
+      // within the same report)
+      val ci = if (fanInCube) 0 else i
       val dsLinks = Seq(
-        Some(s"""<a href="${loc.cuboInteligente}#${ph(cubeId(i))}">Gen Cubo $i</a>"""),
-        if (i % 5 == 0 && i > 0)
+        Some(s"""<a href="${loc.cuboInteligente}#${ph(cubeId(ci))}">Gen Cubo $ci</a>"""),
+        if (i % 5 == 0 && i > 0 && !fanInCube)
           Some(s"""<a href="${loc.cuboInteligente}#${ph(cubeId(i - 1))}">Gen Cubo ${i - 1}</a>""")
         else None,
         if (i % 4 == 0 && i / 4 < nRelDs)
@@ -280,11 +294,13 @@ object MstrGen {
 
   /** As pages-table rows (Latin-1 per the pinned decode rule). */
   def pages(n: Int, loc: MstrLocale = MstrLocale.ptBR,
-            hotCubes: Boolean = false): Seq[PageRow] = {
+            hotCubes: Boolean = false,
+            fanInCube: Boolean = false): Seq[PageRow] = {
     val baseTs = 1577836800000L
-    corpus(n, loc, hotCubes).toSeq.sortBy(_._1).zipWithIndex.map { case ((name, html), i) =>
-      PageRow(s"mstr://gen/$name", new Timestamp(baseTs + i),
-        html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), "", loc.code)
+    corpus(n, loc, hotCubes, fanInCube).toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, html), i) =>
+        PageRow(s"mstr://gen/$name", new Timestamp(baseTs + i),
+          html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), "", loc.code)
     }
   }
 }

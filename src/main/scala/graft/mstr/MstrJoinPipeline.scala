@@ -129,8 +129,10 @@ object MstrJoinPipeline {
     * blob tagged by `kind`. The payloads are internal to this pipeline,
     * never queried columnar, and the recursive tree they feed can't be
     * a Catalyst schema anyway (SURVEY.md §7.4.2). `report_id` is the
-    * assembly group key for fragments (empty for requests — requests
-    * carry their own keys inside the payload).
+    * assembly group key for fragments; for requests the same slot
+    * carries the TARGET FILE instead, so the probe aggregate (and the
+    * next stage's routing key) can read it without deserializing the
+    * payload — per-file request counting rides the probe for free.
     */
   final case class Frag(report_id: String, kind: Int, blob: Array[Byte])
 
@@ -143,7 +145,8 @@ object MstrJoinPipeline {
 
     def of(reportId: String, payload: Serializable): Frag =
       tagged(reportId, KFrag, payload)
-    def req(kind: Int, payload: Serializable): Frag = tagged("", kind, payload)
+    def req(kind: Int, file: String, payload: Serializable): Frag =
+      tagged(file, kind, payload)
     private def tagged(key: String, kind: Int, payload: Serializable): Frag = {
       val bos = new java.io.ByteArrayOutputStream()
       val oos = new java.io.ObjectOutputStream(bos)
@@ -165,6 +168,106 @@ object MstrJoinPipeline {
       extends Serializable {
     @transient lazy val indexes: MstrIndexes =
       MstrPipeline.buildIndexes(indexHtml, MstrLocale.forLang(lang))
+  }
+
+  /** Batched Misra-Gries heavy-hitter counter (space-saving family):
+    * the map may grow to 2×`cap`; past that, the cap-th largest count
+    * is subtracted from every entry and ≤0 entries drop, so each
+    * compaction frees ≥cap slots at O(entries) cost — amortized O(1)
+    * per add. `shed` tracks the total subtracted, which upper-bounds
+    * any key's undercount (Σsᵢ ≤ n/cap since ≥cap entries carry each
+    * sᵢ): a key's true count is ≤ est + shed, so testing
+    * `est + shed > threshold` NEVER misses a genuinely hot key, and
+    * with cap ≥ 8×width the false-positive inflation is ≤ threshold/16
+    * (a near-threshold file split unnecessarily costs only its tiny
+    * salted replication, never correctness).
+    */
+  final class HeavyHitters(val cap: Int) extends Serializable {
+    private val m = new java.util.HashMap[String, Long]()
+    private var shedTotal = 0L
+    def shed: Long = shedTotal
+
+    def add(key: String): this.type = {
+      m.merge(key, 1L, (a: Long, b: Long) => a + b)
+      if (m.size > 2 * cap) compact()
+      this
+    }
+    def merge(o: HeavyHitters): this.type = {
+      o.m.forEach { (k: String, v: Long) =>
+        m.merge(k, v, (a: Long, b: Long) => a + b)
+      }
+      shedTotal += o.shedTotal
+      if (m.size > 2 * cap) compact()
+      this
+    }
+    /** est(key); 0 when untracked (true count still ≤ shed then). */
+    def est(key: String): Long = m.getOrDefault(key, 0L)
+    def foreachEntry(f: (String, Long) => Unit): Unit = m.forEach {
+      (k: String, v: Long) => f(k, v)
+    }
+    private def compact(): Unit = {
+      val vals = new Array[Long](m.size())
+      var i = 0
+      m.forEach { (_: String, v: Long) => vals(i) = v; i += 1 }
+      java.util.Arrays.sort(vals)
+      // s = (cap+1)-th largest: at most `cap` entries survive (> s),
+      // so each compaction frees > cap slots
+      val s = vals(math.max(0, vals.length - 1 - cap))
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= s) it.remove() else e.setValue(e.getValue - s)
+      }
+      shedTotal += s
+    }
+  }
+
+  /** Probe accumulator: per-kind row counts (the O(1) stage gauges)
+    * plus per-(kind:file) request heavy hitters — the request frag's
+    * `report_id` slot carries the target file, so this rides the
+    * probe's existing pass with no payload deserialization and no
+    * extra job.
+    */
+  final class ProbeStats(val cap: Int) extends Serializable {
+    var kinds: Map[Int, Long] = Map.empty
+    val files = new HeavyHitters(cap)
+    def add(f: Frag): this.type = {
+      kinds = kinds.updated(f.kind, kinds.getOrElse(f.kind, 0L) + 1L)
+      if (f.kind != Frag.KFrag && f.report_id.nonEmpty)
+        files.add(f.kind.toString + ":" + f.report_id)
+      this
+    }
+    def merge(o: ProbeStats): this.type = {
+      kinds = o.kinds.foldLeft(kinds) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, 0L) + v) }
+      files.merge(o.files)
+      this
+    }
+    def count(kind: Int): Long = kinds.getOrElse(kind, 0L)
+
+    /** Files measured hot for a stage consuming the given request
+      * kinds: same fair-share rule as [[MstrJoinPipeline.hotFilesOf]]
+      * (>2× a partition's share, floor 64), over MEASURED counts with
+      * the sketch's no-false-negative slack folded in.
+      */
+    def hotFiles(reqKinds: Seq[Int], width: Int): Set[String] = {
+      val total = reqKinds.map(count).sum
+      val threshold = math.max(64L, 2L * total / math.max(1, width))
+      // a stage consuming several kinds sees one file's requests split
+      // across per-kind keys: sum the estimates per file, with one
+      // shed-slack per contributing kind so the no-false-negative
+      // guarantee survives the split
+      val prefixes = reqKinds.map(k => k.toString + ":")
+      val perFile = mutable.Map.empty[String, Long]
+      files.foreachEntry { (key, est) =>
+        prefixes.find(key.startsWith).foreach { p =>
+          val f = key.drop(p.length)
+          perFile.update(f, perFile.getOrElse(f, 0L) + est)
+        }
+      }
+      val slack = files.shed * reqKinds.size
+      perFile.iterator.filter(_._2 + slack > threshold).map(_._1).toSet
+    }
   }
 
   private def fileName(url: String): String = url.substring(url.lastIndexOf('/') + 1)
@@ -405,22 +508,35 @@ object MstrJoinPipeline {
     // have, a straggler when one content file serves most requests (all
     // datasets exported into one file: measured 106 s wall / 69 s max
     // task vs 22 s wall on the even layout, 20k reports @ 8 cores —
-    // MstrHotSkewBench). Hot files are knowable at PLANNING time with
-    // zero extra jobs: a file's future request count is proxied by its
-    // link count across the nine indexes plus the stage-R work list
-    // (every request's file comes from an index link). Files above a
-    // fair-share threshold get their request lists split across `width`
-    // salted keys, with the (already greatest-url-deduped) page row
-    // replicated to each salt — so the page parse runs once per salt in
-    // parallel and the request work divides by `width` instead of
-    // serializing. The salted leg only exists when hot files exist; the
-    // plan (and job count) is byte-identical to the unsalted shape
-    // otherwise. A fan-in hot SECTION (one file, few links, requested
-    // by millions of reports) is not index-visible; catching it would
-    // cost a per-stage count job — out of scope until a corpus shows it.
-    // GRAFT_JOIN_NOSALT=1 disables routing (the A/B lever).
+    // MstrHotSkewBench). Files above a fair-share threshold get their
+    // request lists split across `width` salted keys, with the (already
+    // greatest-url-deduped) page row replicated to each salt — so the
+    // page parse runs once per salt in parallel and the request work
+    // divides by `width` instead of serializing. The salted leg only
+    // exists when hot files exist; the plan (and job count) is
+    // byte-identical to the unsalted shape otherwise.
+    //
+    // Hot files surface through TWO detectors, neither costing a job:
+    //  - PLANNING time (here): a file's future request count proxied by
+    //    its link count across the nine indexes plus the stage-R work
+    //    list. Catches the link-visible shape (all datasets exported
+    //    into one file).
+    //  - MEASURED (per stage): a fan-in hot SECTION — one file, a
+    //    normal handful of links, requested by nearly every report
+    //    ("everything reads the corporate base cube") — is invisible to
+    //    link counts (measured: 11.5 s max task vs 0.003 s median, 20k
+    //    reports @ 8 cores). But every stage's requests are BORN in the
+    //    previous stage's output, whose probe is already the cache-
+    //    materializing action: request frags carry their target file in
+    //    the key slot, the probe heavy-hitter-counts them per file
+    //    (ProbeStats), and the consuming stage salts the measured-hot
+    //    files exactly like the planning-time ones.
+    // GRAFT_JOIN_NOSALT=1 disables all routing; GRAFT_JOIN_STATIC_HOT=1
+    // disables only the measured detector (the A/B levers).
+    val noSalt = sys.env.get("GRAFT_JOIN_NOSALT").contains("1")
+    val staticHotOnly = sys.env.get("GRAFT_JOIN_STATIC_HOT").contains("1")
     val hotFiles: Set[String] =
-      if (sys.env.get("GRAFT_JOIN_NOSALT").contains("1")) Set.empty
+      if (noSalt) Set.empty
       else hotFilesOf(
         Seq(indexes.documento, indexes.relatorio, indexes.cuboInteligente,
           indexes.atalho, indexes.metrica, indexes.fato, indexes.funcao,
@@ -428,17 +544,27 @@ object MstrJoinPipeline {
           .map(_.links.iterator.map(_.file)) :+
           reportReqs.iterator.map(_.file),
         width)
+    /** Measured-hot set for a stage consuming `reqKinds` requests from
+      * a probed predecessor; empty under either disable lever.
+      */
+    def measuredHot(stats: ProbeStats, reqKinds: Int*): Set[String] =
+      if (noSalt || staticHotOnly) Set.empty
+      else stats.hotFiles(reqKinds, width)
     // hot pages replicated once per salt under the SAME partitioner
-    // (composite key file + NUL + salt); tiny — hotFiles × width rows —
-    // and reused by every stage like the base layout
-    val hotPages: RDD[(String, (String, Array[Byte]))] =
-      if (hotFiles.isEmpty) null
-      else pagesByFile
-        .filter { case (fl, _) => hotFiles.contains(fl) }
+    // (composite key file + NUL + salt); tiny — hot files × width rows.
+    // One persisted layout per distinct hot SET (in practice one or two
+    // per run: the static set, plus measured unions when a fan-in stage
+    // differs), reused by every stage that sees that set and released
+    // with the stage caches.
+    val saltedLayouts =
+      mutable.Map.empty[Set[String], RDD[(String, (String, Array[Byte]))]]
+    def saltedPages(hot: Set[String]): RDD[(String, (String, Array[Byte]))] =
+      saltedLayouts.getOrElseUpdate(hot, pagesByFile
+        .filter { case (fl, _) => hot.contains(fl) }
         .flatMap { case (fl, v) =>
           (0 until width).iterator.map(s => (fl + "\u0000" + s, v)) }
         .partitionBy(part)
-        .persist(sl)
+        .persist(sl))
 
     /** One stage = one co-partitioned zipPartitions join: the request
       * table (entity-scale by design — the reference's work lists)
@@ -449,7 +575,8 @@ object MstrJoinPipeline {
       * driver transit, no broadcast build, nothing page-sized moves;
       * fragments and follow-up requests stay distributed.
       */
-    def stage[R: ClassTag](reqs: RDD[(String, R)])(
+    def stage[R: ClassTag](reqs: RDD[(String, R)],
+                           extraHot: Set[String] = Set.empty)(
         f: (Soup, MstrIndexes, Seq[R]) => Seq[Frag]): RDD[Frag] = {
       def leg(pagesRdd: RDD[(String, (String, Array[Byte]))],
               keyed: RDD[(String, R)]): RDD[Frag] = {
@@ -468,7 +595,10 @@ object MstrJoinPipeline {
           }
         }
       }
-      if (hotFiles.isEmpty) leg(pagesByFile, reqs)
+      // this stage's hot set: planning-time static ∪ measured
+      // (predecessor-probe) — both split identically
+      val hot = hotFiles ++ extraHot
+      if (hot.isEmpty) leg(pagesByFile, reqs)
       else {
         // hot requests split across `width` salted keys against the
         // replicated hot layout; the salt is a deterministic hash of
@@ -477,10 +607,10 @@ object MstrJoinPipeline {
         // meets its page exactly once — output identity is untouched,
         // only task granularity changes.
         val cold = leg(pagesByFile,
-          reqs.filter { case (fl, _) => !hotFiles.contains(fl) })
-        val hotLeg = leg(hotPages,
+          reqs.filter { case (fl, _) => !hot.contains(fl) })
+        val hotLeg = leg(saltedPages(hot),
           reqs.flatMap { case (fl, r) =>
-            if (!hotFiles.contains(fl)) None
+            if (!hot.contains(fl)) None
             else Some((fl + "\u0000" + math.floorMod(r.hashCode, width), r))
           })
         cold.union(hotLeg)
@@ -490,15 +620,16 @@ object MstrJoinPipeline {
     /** O(1)-row probe that doubles as the materializing action for a
       * stage's cache: counts follow-up requests by kind in one job.
       */
-    def probe(out: RDD[Frag]): Map[Int, Long] = out
-      .aggregate(Map.empty[Int, Long])(
-        (m, f) => m.updated(f.kind, m.getOrElse(f.kind, 0L) + 1),
-        (a, b) => b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) })
+    // the sketch cap: ≥8× width keeps the no-false-negative slack
+    // under threshold/16 (see HeavyHitters), and the map under
+    // 2×cap entries regardless of distinct-file count
+    val hhCap = math.max(64, 8 * width)
+    def probe(out: RDD[Frag]): ProbeStats = out
+      .aggregate(new ProbeStats(hhCap))((s, f) => s.add(f), (a, b) => a.merge(b))
 
-    def reqRdd[R: ClassTag](out: RDD[Frag], kind: Int)(fileOf: R => String): RDD[(String, R)] =
+    def reqRdd[R: ClassTag](out: RDD[Frag], kind: Int): RDD[(String, R)] =
       out.filter(_.kind == kind).map { f =>
-        val r = Frag.read(f).asInstanceOf[R]
-        (fileOf(r), r)
+        (f.report_id, Frag.read(f).asInstanceOf[R])
       }
 
     // ---- stage R: report skeletons + dataset routing (work list
@@ -547,12 +678,12 @@ object MstrJoinPipeline {
     // the probe is the materializing action for rOut's cache (and runs
     // the pages layout shuffle, reused by every later stage); dataset
     // requests stay distributed
-    val rCounts = probe(rOut)
-    prof(s"stage-R done (${rCounts.getOrElse(Frag.KDs, 0L)} ds reqs)")
-    val dsReqRdd = reqRdd[DsReq](rOut, Frag.KDs)(_.file)
+    val rStats = probe(rOut)
+    prof(s"stage-R done (${rStats.count(Frag.KDs)} ds reqs)")
+    val dsReqRdd = reqRdd[DsReq](rOut, Frag.KDs)
 
     // ---- stage D: dataset pages → template objects → attr/metric reqs ----
-    val dOut = stage(dsReqRdd) { (soup, idx, rs) =>
+    val dOut = stage(dsReqRdd, measuredHot(rStats, Frag.KDs)) { (soup, idx, rs) =>
       rs.flatMap { rq =>
         val isReport = MstrParsers.isReportDataset(soup, loc, rq.ds_id)
         val (appObject, graphic, attrsInfo, metricsInfo) =
@@ -570,7 +701,7 @@ object MstrJoinPipeline {
           rq.ds_ord, rq.ds_name, rq.ds_id, rq.ds_file, appObject, graphic))
         val attrs = attrsInfo.zipWithIndex.flatMap { case (ai, i) =>
           idx.atributo.findLink(ai.id, Some(ai.nameOnDataset)).map { link =>
-            Frag.req(Frag.KAttr, AttrReq(rq.report_id, rq.ds_ord, i, link.name,
+            Frag.req(Frag.KAttr, link.file, AttrReq(rq.report_id, rq.ds_ord, i, link.name,
               ai.nameOnDataset, link.file, link.anchor, rq.ds_id))
           }
         }
@@ -579,7 +710,7 @@ object MstrJoinPipeline {
             case Some(link) =>
               val anchorOpt = if (link.anchor.nonEmpty) Some(link.anchor) else mi.id
               val (f, a) = splitPath(filePathOf(link))
-              Frag.req(Frag.KMetric, MetricReq(rq.report_id, rq.ds_ord, Seq(i),
+              Frag.req(Frag.KMetric, f, MetricReq(rq.report_id, rq.ds_ord, Seq(i),
                 rq.ds_id, link.name, f, a, anchorOpt, Nil))
             case None =>
               // embedded/derived metric (report_extractor.py:263-285)
@@ -594,8 +725,8 @@ object MstrJoinPipeline {
 
     // one probe materializes dOut's cache and sizes the level-1
     // frontier (attribute + first-level metric requests ride together)
-    val dCounts = probe(dOut)
-    val nL1 = dCounts.getOrElse(Frag.KAttr, 0L) + dCounts.getOrElse(Frag.KMetric, 0L)
+    val dStats = probe(dOut)
+    val nL1 = dStats.count(Frag.KAttr) + dStats.count(Frag.KMetric)
     prof(s"stage-D done ($nL1 l1 reqs)")
 
     // ---- stage A body: attribute pages → forms (attribute_extractor.py);
@@ -644,7 +775,7 @@ object MstrJoinPipeline {
               else idx.metrica.findMetricLink("", Some(cid)).map { link =>
                 added += cid
                 val (f, a) = splitPath(filePathOf(link))
-                Frag.req(Frag.KMetric, MetricReq(rq.report_id, rq.ds_ord, rq.pos :+ k,
+                Frag.req(Frag.KMetric, f, MetricReq(rq.report_id, rq.ds_ord, rq.pos :+ k,
                   rq.ds_id, link.name, f, a, Some(cid), newPath))
               }
             }
@@ -670,7 +801,7 @@ object MstrJoinPipeline {
             }.getOrElse((None, None))
             Frag.of(rq.report_id, MetricNodeFrag(rq.ds_ord,
               rq.pos, rq.name, outId, fullPath, tipo, Some("Metrica"), defn.formula,
-              function, fact)) :: factReq.map(Frag.req(Frag.KFact, _)).toList
+              function, fact)) :: factReq.map(fr => Frag.req(Frag.KFact, fr.file, fr)).toList
           }
         }
       }
@@ -695,6 +826,12 @@ object MstrJoinPipeline {
         }
       }
     var nFrontier = nL1
+    // the level about to run consumes the PREVIOUS probe's requests —
+    // its measured-hot set comes from those stats (dOut's for level 1)
+    var frontierStats: ProbeStats = dStats
+    // fact requests from every level union into one stage-F input, so
+    // its hot set accumulates across all the level probes
+    val factStats = new ProbeStats(hhCap)
     var mnodeFrags = spark.sparkContext.emptyRDD[Frag]
     var factReqRdd: RDD[(String, FactReq)] =
       spark.sparkContext.emptyRDD[(String, FactReq)]
@@ -702,16 +839,19 @@ object MstrJoinPipeline {
     var depth = 0
     while (nFrontier > 0 && depth < 64) {
       depth += 1
-      val out = stage(frontier)(fusedStage).persist(sl)
+      val out = stage(frontier,
+        measuredHot(frontierStats, Frag.KAttr, Frag.KMetric))(fusedStage).persist(sl)
       persisted += out
-      val counts = probe(out)
-      prof(s"level $depth done (${counts.getOrElse(Frag.KMetric, 0L) +
-        counts.getOrElse(Frag.KFact, 0L)} follow-ups)")
+      val stats = probe(out)
+      prof(s"level $depth done (${stats.count(Frag.KMetric) +
+        stats.count(Frag.KFact)} follow-ups)")
       mnodeFrags = mnodeFrags.union(out)
-      factReqRdd = factReqRdd.union(reqRdd[FactReq](out, Frag.KFact)(_.file))
-      frontier = reqRdd[MetricReq](out, Frag.KMetric)(_.file)
+      factReqRdd = factReqRdd.union(reqRdd[FactReq](out, Frag.KFact))
+      frontier = reqRdd[MetricReq](out, Frag.KMetric)
         .mapValues(m => Right(m): Either[AttrReq, MetricReq])
-      nFrontier = counts.getOrElse(Frag.KMetric, 0L)
+      factStats.merge(stats)
+      frontierStats = stats
+      nFrontier = stats.count(Frag.KMetric)
     }
     // a >64-deep acyclic composite chain must fail LOUDLY, not emit a
     // silently truncated tree diverging from the broadcast-path engine
@@ -722,7 +862,8 @@ object MstrJoinPipeline {
     // ---- stage F: fact pages → logic tables (fact_parser.py); lazy —
     // its fragments are first (and only) computed inside the assembly
     // job, so it adds no orchestration job of its own ----
-    val factFrags = stage(factReqRdd) { (soup, idx, rs) =>
+    val factFrags = stage(factReqRdd,
+        measuredHot(factStats, Frag.KFact)) { (soup, idx, rs) =>
       rs.map { rq =>
         val lts = MstrParsers.extractFactLogicTables(soup, loc,
           Some(rq.anchor).filter(_.nonEmpty)).map { lt =>
@@ -800,7 +941,7 @@ object MstrJoinPipeline {
     // driver should a lost block ever force lineage recompute.
     persisted.foreach(_.unpersist(blocking = false))
     pagesByFile.unpersist(blocking = false)
-    if (hotPages != null) hotPages.unpersist(blocking = false)
+    saltedLayouts.valuesIterator.foreach(_.unpersist(blocking = false))
     bIdx.unpersist(blocking = false)
     result
   }
@@ -848,8 +989,9 @@ object MstrJoinPipeline {
           Seq(Frag.of(groupKey, DsFrag(ord, dsName, dsId, dsFile,
             Some("Shortcut"), None)))
         else
-          Seq(Frag.req(Frag.KDs, DsReq(groupKey, ord, dsName, dsId, dsFile,
-            dsFile.split("#", 2)(0), source)))
+          Seq(Frag.req(Frag.KDs, dsFile.split("#", 2)(0),
+            DsReq(groupKey, ord, dsName, dsId, dsFile,
+              dsFile.split("#", 2)(0), source)))
     }
   }
 }

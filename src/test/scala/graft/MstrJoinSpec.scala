@@ -101,6 +101,71 @@ class MstrJoinSpec extends AnyFunSuite {
       == Set("Hot.html"))
   }
 
+  test("fan-in corpus: measured hot detection engages and stays byte-identical to broadcast") {
+    import spark.implicits._
+    // every report's primary dataset is THE SAME cube section: the
+    // dataset-stage request list concentrates on a file whose index
+    // link count is normal, so planning-time detection cannot see it —
+    // only the probe-measured per-file request counts can. 600 reqs on
+    // one file at width 4 is far over the 2x fair-share threshold
+    // (300), so the measured salted leg runs, and output bytes must
+    // still equal the broadcast plan's
+    val pages = graft.fixtures.MstrGen.pages(600, fanInCube = true)
+    val viaBroadcast = MstrPipeline.run(spark, pages, "pt-BR")._1
+      .collect().map(r => r.report_id -> r.json).toMap
+    val viaJoin = MstrJoinPipeline.run(spark,
+      spark.createDataset(pages).repartition(4), "pt-BR")
+      .collect().map(r => r.report_id -> r.json).toMap
+    assert(viaJoin.keySet == viaBroadcast.keySet)
+    viaBroadcast.foreach { case (rid, json) =>
+      assert(viaJoin(rid) == json, s"report $rid diverged on the fan-in corpus")
+    }
+  }
+
+  test("probe heavy hitters: exact under cap, no false negatives under shed, merge") {
+    import MstrJoinPipeline.{Frag, HeavyHitters, ProbeStats}
+    // exact regime: fewer distinct keys than cap — counts are exact
+    val hh = new HeavyHitters(64)
+    (1 to 500).foreach(_ => hh.add("hot"))
+    (1 to 10).foreach(i => hh.add(s"cold$i"))
+    assert(hh.est("hot") == 500 && hh.shed == 0)
+    // shed regime: 10k distinct singletons force compactions around a
+    // genuinely hot key — est+shed must never miss it
+    val hh2 = new HeavyHitters(64)
+    (1 to 1000).foreach(_ => hh2.add("hot"))
+    (1 to 10000).foreach(i => hh2.add(s"noise$i"))
+    assert(hh2.shed > 0, "sanity: compactions must have happened")
+    assert(hh2.est("hot") + hh2.shed >= 1000, "hot key undercount exceeded shed bound")
+    // merged sketches keep the guarantee
+    val a = new HeavyHitters(64); val b = new HeavyHitters(64)
+    (1 to 700).foreach(_ => a.add("hot")); (1 to 5000).foreach(i => a.add(s"an$i"))
+    (1 to 700).foreach(_ => b.add("hot")); (1 to 5000).foreach(i => b.add(s"bn$i"))
+    a.merge(b)
+    assert(a.est("hot") + a.shed >= 1400)
+    // ProbeStats end-to-end: per-kind counting + multi-kind hot sets
+    val st = new ProbeStats(64)
+    (1 to 400).foreach(_ => st.add(Frag(s"F.html", Frag.KDs, Array.emptyByteArray)))
+    (1 to 40).foreach(i => st.add(Frag(s"G$i.html", Frag.KDs, Array.emptyByteArray)))
+    (1 to 100).foreach(_ => st.add(Frag("rep1", Frag.KFrag, Array.emptyByteArray)))
+    assert(st.count(Frag.KDs) == 440 && st.count(Frag.KFrag) == 100)
+    // 400 of 440 on one file at width 4: threshold max(64, 220) = 220
+    assert(st.hotFiles(Seq(Frag.KDs), 4) == Set("F.html"))
+    // same distribution at width 1: fair share is the whole list — cold
+    assert(st.hotFiles(Seq(Frag.KDs), 1).isEmpty)
+    // a stage consuming two kinds judges each file against the
+    // COMBINED workload's fair share: a file holding all of a tiny
+    // kind inside a stage dominated by a spread-out big kind is not a
+    // straggler and must not be split
+    val st2 = new ProbeStats(64)
+    (1 to 100).foreach(_ => st2.add(Frag("F.html", Frag.KAttr, Array.emptyByteArray)))
+    (1 to 2000).foreach(i =>
+      st2.add(Frag(s"M${i % 40}.html", Frag.KMetric, Array.emptyByteArray)))
+    assert(st2.hotFiles(Seq(Frag.KAttr), 4) == Set("F.html"),
+      "sanity: judged on its kind alone the file crosses the floor")
+    assert(st2.hotFiles(Seq(Frag.KAttr, Frag.KMetric), 4).isEmpty,
+      "combined stage workload: 100 of 2100 requests is not a straggler")
+  }
+
   test("join path never throws on truncated pages and is partition-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
