@@ -171,16 +171,19 @@ object MstrJoinPipeline {
   }
 
   /** Batched Misra-Gries heavy-hitter counter (space-saving family):
-    * the map may grow to 2×`cap`; past that, the cap-th largest count
-    * is subtracted from every entry and ≤0 entries drop, so each
-    * compaction frees ≥cap slots at O(entries) cost — amortized O(1)
+    * the map may grow to 2×`cap`; past that, the (cap+1)-th largest
+    * count is subtracted from every entry and ≤0 entries drop, so each
+    * compaction frees >cap slots at O(entries) cost — amortized O(1)
     * per add. `shed` tracks the total subtracted, which upper-bounds
     * any key's undercount (Σsᵢ ≤ n/cap since ≥cap entries carry each
     * sᵢ): a key's true count is ≤ est + shed, so testing
     * `est + shed > threshold` NEVER misses a genuinely hot key, and
     * with cap ≥ 8×width the false-positive inflation is ≤ threshold/16
     * (a near-threshold file split unnecessarily costs only its tiny
-    * salted replication, never correctness).
+    * salted replication, never correctness). The n in both bounds is
+    * THIS sketch's own add count — which is why ProbeStats keeps one
+    * sketch per request kind: a kind queried against its own total must
+    * not absorb another kind's compaction pressure or shed.
     */
   final class HeavyHitters(val cap: Int) extends Serializable {
     private val m = new java.util.HashMap[String, Long]()
@@ -223,49 +226,62 @@ object MstrJoinPipeline {
   }
 
   /** Probe accumulator: per-kind row counts (the O(1) stage gauges)
-    * plus per-(kind:file) request heavy hitters — the request frag's
-    * `report_id` slot carries the target file, so this rides the
-    * probe's existing pass with no payload deserialization and no
-    * extra job.
+    * plus per-file request heavy hitters, ONE SKETCH PER REQUEST KIND —
+    * eviction pressure and shed slack for a kind then come only from
+    * that kind's own adds, so the no-false-negative bound holds per
+    * kind even when one kind dwarfs another in the same accumulator
+    * (stage F's stats accumulate a little KFact across metric-dominated
+    * levels). The request frag's `report_id` slot carries the target
+    * file, so this rides the probe's existing pass with no payload
+    * deserialization and no extra job. `trackFiles=false` (the measured
+    * detector's disable levers) skips the sketches entirely so an A/B
+    * "before" leg carries none of the detector's cost.
     */
-  final class ProbeStats(val cap: Int) extends Serializable {
+  final class ProbeStats(val cap: Int, val trackFiles: Boolean = true)
+      extends Serializable {
     var kinds: Map[Int, Long] = Map.empty
-    val files = new HeavyHitters(cap)
+    val files = new java.util.HashMap[Int, HeavyHitters]()
     def add(f: Frag): this.type = {
       kinds = kinds.updated(f.kind, kinds.getOrElse(f.kind, 0L) + 1L)
-      if (f.kind != Frag.KFrag && f.report_id.nonEmpty)
-        files.add(f.kind.toString + ":" + f.report_id)
+      if (trackFiles && f.kind != Frag.KFrag && f.report_id.nonEmpty)
+        files.computeIfAbsent(f.kind, _ => new HeavyHitters(cap)).add(f.report_id)
       this
     }
     def merge(o: ProbeStats): this.type = {
       kinds = o.kinds.foldLeft(kinds) { case (m, (k, v)) =>
         m.updated(k, m.getOrElse(k, 0L) + v) }
-      files.merge(o.files)
+      o.files.forEach { (k: Int, hh: HeavyHitters) =>
+        // copy on first sight: aliasing o's sketch would let a later
+        // merge into THIS accumulator silently mutate o (stage F merges
+        // level stats that the level loop also keeps as frontierStats)
+        files.merge(k, new HeavyHitters(cap).merge(hh),
+          (mine: HeavyHitters, theirs: HeavyHitters) => mine.merge(theirs))
+      }
       this
     }
     def count(kind: Int): Long = kinds.getOrElse(kind, 0L)
 
     /** Files measured hot for a stage consuming the given request
       * kinds: same fair-share rule as [[MstrJoinPipeline.hotFilesOf]]
-      * (>2× a partition's share, floor 64), over MEASURED counts with
-      * the sketch's no-false-negative slack folded in.
+      * ([[MstrJoinPipeline.fairShareThreshold]]), over MEASURED counts
+      * with the per-kind no-false-negative slack folded in. The
+      * threshold is the COMBINED workload's fair share: a file holding
+      * all of a tiny kind inside a stage dominated by another kind is
+      * not a straggler and is not split.
       */
     def hotFiles(reqKinds: Seq[Int], width: Int): Set[String] = {
-      val total = reqKinds.map(count).sum
-      val threshold = math.max(64L, 2L * total / math.max(1, width))
-      // a stage consuming several kinds sees one file's requests split
-      // across per-kind keys: sum the estimates per file, with one
-      // shed-slack per contributing kind so the no-false-negative
-      // guarantee survives the split
-      val prefixes = reqKinds.map(k => k.toString + ":")
+      val threshold = fairShareThreshold(reqKinds.map(count).sum, width)
       val perFile = mutable.Map.empty[String, Long]
-      files.foreachEntry { (key, est) =>
-        prefixes.find(key.startsWith).foreach { p =>
-          val f = key.drop(p.length)
-          perFile.update(f, perFile.getOrElse(f, 0L) + est)
+      var slack = 0L
+      reqKinds.foreach { k =>
+        val hh = files.get(k)
+        if (hh != null) {
+          slack += hh.shed
+          hh.foreachEntry { (f, est) =>
+            perFile.update(f, perFile.getOrElse(f, 0L) + est)
+          }
         }
       }
-      val slack = files.shed * reqKinds.size
       perFile.iterator.filter(_._2 + slack > threshold).map(_._1).toSet
     }
   }
@@ -549,7 +565,11 @@ object MstrJoinPipeline {
       */
     def measuredHot(stats: ProbeStats, reqKinds: Int*): Set[String] =
       if (noSalt || staticHotOnly) Set.empty
-      else stats.hotFiles(reqKinds, width)
+      else {
+        val hot = stats.hotFiles(reqKinds, width)
+        if (hot.nonEmpty) lastMeasuredHot.updateAndGet(_ ++ hot)
+        hot
+      }
     // hot pages replicated once per salt under the SAME partitioner
     // (composite key file + NUL + salt); tiny — hot files × width rows.
     // One persisted layout per distinct hot SET (in practice one or two
@@ -621,11 +641,14 @@ object MstrJoinPipeline {
       * stage's cache: counts follow-up requests by kind in one job.
       */
     // the sketch cap: ≥8× width keeps the no-false-negative slack
-    // under threshold/16 (see HeavyHitters), and the map under
-    // 2×cap entries regardless of distinct-file count
+    // under threshold/16 (see HeavyHitters), and each per-kind map
+    // under 2×cap entries regardless of distinct-file count
     val hhCap = math.max(64, 8 * width)
+    val trackHot = !(noSalt || staticHotOnly)
+    lastMeasuredHot.set(Set.empty)
     def probe(out: RDD[Frag]): ProbeStats = out
-      .aggregate(new ProbeStats(hhCap))((s, f) => s.add(f), (a, b) => a.merge(b))
+      .aggregate(new ProbeStats(hhCap, trackHot))(
+        (s, f) => s.add(f), (a, b) => a.merge(b))
 
     def reqRdd[R: ClassTag](out: RDD[Frag], kind: Int): RDD[(String, R)] =
       out.filter(_.kind == kind).map { f =>
@@ -831,7 +854,7 @@ object MstrJoinPipeline {
     var frontierStats: ProbeStats = dStats
     // fact requests from every level union into one stage-F input, so
     // its hot set accumulates across all the level probes
-    val factStats = new ProbeStats(hhCap)
+    val factStats = new ProbeStats(hhCap, trackHot)
     var mnodeFrags = spark.sparkContext.emptyRDD[Frag]
     var factReqRdd: RDD[(String, FactReq)] =
       spark.sparkContext.emptyRDD[(String, FactReq)]
@@ -962,9 +985,27 @@ object MstrJoinPipeline {
       files.foreach { f =>
         if (f.nonEmpty) { counts.update(f, counts.getOrElse(f, 0L) + 1L); total += 1L }
       }
-      val threshold = math.max(64L, 2L * total / math.max(1, width))
+      val threshold = fairShareThreshold(total, width)
       counts.iterator.filter(_._2 > threshold).map(_._1)
     }.toSet
+
+  /** The one fair-share hot rule BOTH detectors (planning-time
+    * [[hotFilesOf]], measured [[ProbeStats.hotFiles]]) judge against:
+    * hot = more than 2× a partition's share of the population, floor 64
+    * (a list one task handles in milliseconds is never worth
+    * splitting).
+    */
+  private[graft] def fairShareThreshold(total: Long, width: Int): Long =
+    math.max(64L, 2L * total / math.max(1, width))
+
+  /** Test instrumentation: the union of MEASURED hot sets the most
+    * recent [[run]] on this JVM routed through the salted leg
+    * (planning-time static hot excluded). Lets specs assert the
+    * measured detector actually engaged on a fan-in corpus — output
+    * bytes alone can't (salting is output-invariant by design).
+    */
+  private[graft] val lastMeasuredHot =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
 
   /** Pre-file dataset routing — extractDataset's index-only prefix
     * (dataset_extractor.py:21-143): unresolved → empty dataset with
@@ -988,10 +1029,11 @@ object MstrJoinPipeline {
         if (source == "Shortcut")
           Seq(Frag.of(groupKey, DsFrag(ord, dsName, dsId, dsFile,
             Some("Shortcut"), None)))
-        else
-          Seq(Frag.req(Frag.KDs, dsFile.split("#", 2)(0),
-            DsReq(groupKey, ord, dsName, dsId, dsFile,
-              dsFile.split("#", 2)(0), source)))
+        else {
+          val file = dsFile.split("#", 2)(0)
+          Seq(Frag.req(Frag.KDs, file,
+            DsReq(groupKey, ord, dsName, dsId, dsFile, file, source)))
+        }
     }
   }
 }

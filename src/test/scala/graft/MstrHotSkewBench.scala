@@ -31,6 +31,10 @@ object MstrHotSkewBench {
     val reps = sys.env.getOrElse("MSTR_REPS", "2").toInt
     val shape = sys.env.getOrElse("MSTR_SHAPE",
       if (sys.env.get("MSTR_HOT").contains("0")) "even" else "hot")
+    // a typo'd shape must fail, not silently benchmark the even layout
+    // under the requested label
+    require(Set("hot", "even", "fanin").contains(shape),
+      s"MSTR_SHAPE must be hot|even|fanin, got '$shape'")
     val hot = shape == "hot"
     val fanIn = shape == "fanin"
     val spark = SparkSession.builder().master(s"local[$cores]")

@@ -116,6 +116,11 @@ class MstrJoinSpec extends AnyFunSuite {
     val viaJoin = MstrJoinPipeline.run(spark,
       spark.createDataset(pages).repartition(4), "pt-BR")
       .collect().map(r => r.report_id -> r.json).toMap
+    // byte-identity alone cannot prove the salted leg ran (salting is
+    // output-invariant by design): assert the measured detector
+    // actually fired on this corpus via the run's instrumentation
+    assert(MstrJoinPipeline.lastMeasuredHot.get().nonEmpty,
+      "measured hot detection did not engage on the fan-in corpus")
     assert(viaJoin.keySet == viaBroadcast.keySet)
     viaBroadcast.foreach { case (rid, json) =>
       assert(viaJoin(rid) == json, s"report $rid diverged on the fan-in corpus")
@@ -164,6 +169,18 @@ class MstrJoinSpec extends AnyFunSuite {
       "sanity: judged on its kind alone the file crosses the floor")
     assert(st2.hotFiles(Seq(Frag.KAttr, Frag.KMetric), 4).isEmpty,
       "combined stage workload: 100 of 2100 requests is not a straggler")
+    // cross-kind isolation: a flood of distinct metric keys must not
+    // evict (or inflate the slack of) a hot FACT file queried against
+    // its own kind's total — the stage-F accumulator is exactly this
+    // shape (tiny cap to force compactions)
+    val st3 = new ProbeStats(8)
+    (1 to 20000).foreach(i =>
+      st3.add(Frag(s"m$i.html", Frag.KMetric, Array.emptyByteArray)))
+    (1 to 300).foreach(_ => st3.add(Frag("fact.html", Frag.KFact, Array.emptyByteArray)))
+    (1 to 50).foreach(i => st3.add(Frag(s"f$i.html", Frag.KFact, Array.emptyByteArray)))
+    // KFact total 350 at width 4: threshold max(64, 175) = 175 < 300
+    assert(st3.hotFiles(Seq(Frag.KFact), 4) == Set("fact.html"),
+      "metric-kind compaction pressure leaked into the fact sketch")
   }
 
   test("join path never throws on truncated pages and is partition-invariant") {
