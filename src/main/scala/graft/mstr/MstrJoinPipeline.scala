@@ -251,11 +251,13 @@ object MstrJoinPipeline {
       kinds = o.kinds.foldLeft(kinds) { case (m, (k, v)) =>
         m.updated(k, m.getOrElse(k, 0L) + v) }
       o.files.forEach { (k: Int, hh: HeavyHitters) =>
-        // copy on first sight: aliasing o's sketch would let a later
+        val mine = files.get(k)
+        // copy on first sight (only then — the common existing-kind
+        // path merges in place): aliasing o's sketch would let a later
         // merge into THIS accumulator silently mutate o (stage F merges
         // level stats that the level loop also keeps as frontierStats)
-        files.merge(k, new HeavyHitters(cap).merge(hh),
-          (mine: HeavyHitters, theirs: HeavyHitters) => mine.merge(theirs))
+        if (mine == null) files.put(k, new HeavyHitters(cap).merge(hh))
+        else mine.merge(hh)
       }
       this
     }
@@ -1003,6 +1005,10 @@ object MstrJoinPipeline {
     * (planning-time static hot excluded). Lets specs assert the
     * measured detector actually engaged on a fan-in corpus — output
     * bytes alone can't (salting is output-invariant by design).
+    * Diagnostic only — the pipeline never reads it, and under
+    * concurrent run() calls on one driver the last writer wins (specs
+    * run extractions serially; production output is unaffected either
+    * way).
     */
   private[graft] val lastMeasuredHot =
     new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)

@@ -118,8 +118,11 @@ class MstrJoinSpec extends AnyFunSuite {
       .collect().map(r => r.report_id -> r.json).toMap
     // byte-identity alone cannot prove the salted leg ran (salting is
     // output-invariant by design): assert the measured detector
-    // actually fired on this corpus via the run's instrumentation
-    assert(MstrJoinPipeline.lastMeasuredHot.get().nonEmpty,
+    // actually fired on this corpus via the run's instrumentation —
+    // unless a bench lever in the environment disabled it on purpose
+    val levered = sys.env.get("GRAFT_JOIN_NOSALT").contains("1") ||
+      sys.env.get("GRAFT_JOIN_STATIC_HOT").contains("1")
+    assert(levered || MstrJoinPipeline.lastMeasuredHot.get().nonEmpty,
       "measured hot detection did not engage on the fan-in corpus")
     assert(viaJoin.keySet == viaBroadcast.keySet)
     viaBroadcast.foreach { case (rid, json) =>
