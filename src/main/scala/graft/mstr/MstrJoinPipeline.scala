@@ -264,14 +264,16 @@ object MstrJoinPipeline {
     def count(kind: Int): Long = kinds.getOrElse(kind, 0L)
 
     /** Files measured hot for a stage consuming the given request
-      * kinds: same fair-share rule as [[MstrJoinPipeline.hotFilesOf]]
+      * kinds, with each hot file's ADAPTIVE salt count
+      * ([[MstrJoinPipeline.saltCountOf]]): same fair-share rule as
+      * [[MstrJoinPipeline.hotFilesOf]]
       * ([[MstrJoinPipeline.fairShareThreshold]]), over MEASURED counts
       * with the per-kind no-false-negative slack folded in. The
       * threshold is the COMBINED workload's fair share: a file holding
       * all of a tiny kind inside a stage dominated by another kind is
       * not a straggler and is not split.
       */
-    def hotFiles(reqKinds: Seq[Int], width: Int): Set[String] = {
+    def hotFiles(reqKinds: Seq[Int], width: Int): Map[String, Int] = {
       val threshold = fairShareThreshold(reqKinds.map(count).sum, width)
       val perFile = mutable.Map.empty[String, Long]
       var slack = 0L
@@ -284,7 +286,9 @@ object MstrJoinPipeline {
           }
         }
       }
-      perFile.iterator.filter(_._2 + slack > threshold).map(_._1).toSet
+      perFile.iterator.filter(_._2 + slack > threshold)
+        .map { case (f, est) => f -> saltCountOf(est + slack, threshold, width) }
+        .toMap
     }
   }
 
@@ -553,8 +557,8 @@ object MstrJoinPipeline {
     // disables only the measured detector (the A/B levers).
     val noSalt = sys.env.get("GRAFT_JOIN_NOSALT").contains("1")
     val staticHotOnly = sys.env.get("GRAFT_JOIN_STATIC_HOT").contains("1")
-    val hotFiles: Set[String] =
-      if (noSalt) Set.empty
+    val hotFiles: Map[String, Int] =
+      if (noSalt) Map.empty
       else hotFilesOf(
         Seq(indexes.documento, indexes.relatorio, indexes.cuboInteligente,
           indexes.atalho, indexes.metrica, indexes.fato, indexes.funcao,
@@ -562,29 +566,30 @@ object MstrJoinPipeline {
           .map(_.links.iterator.map(_.file)) :+
           reportReqs.iterator.map(_.file),
         width)
-    /** Measured-hot set for a stage consuming `reqKinds` requests from
-      * a probed predecessor; empty under either disable lever.
+    /** Measured-hot (file → salt count) for a stage consuming
+      * `reqKinds` requests from a probed predecessor; empty under
+      * either disable lever.
       */
-    def measuredHot(stats: ProbeStats, reqKinds: Int*): Set[String] =
-      if (noSalt || staticHotOnly) Set.empty
+    def measuredHot(stats: ProbeStats, reqKinds: Int*): Map[String, Int] =
+      if (noSalt || staticHotOnly) Map.empty
       else {
         val hot = stats.hotFiles(reqKinds, width)
-        if (hot.nonEmpty) lastMeasuredHot.updateAndGet(_ ++ hot)
+        if (hot.nonEmpty) lastMeasuredHot.updateAndGet(_ ++ hot.keySet)
         hot
       }
-    // hot pages replicated once per salt under the SAME partitioner
-    // (composite key file + NUL + salt); tiny — hot files × width rows.
-    // One persisted layout per distinct hot SET (in practice one or two
-    // per run: the static set, plus measured unions when a fan-in stage
-    // differs), reused by every stage that sees that set and released
-    // with the stage caches.
+    // hot pages replicated once per ADAPTIVE salt under the SAME
+    // partitioner (composite key file + NUL + salt); tiny — Σ per-file
+    // salt counts rows. One persisted layout per distinct hot MAP (in
+    // practice one or two per run: the static map, plus measured
+    // unions when a fan-in stage differs), reused by every stage that
+    // sees that map and released with the stage caches.
     val saltedLayouts =
-      mutable.Map.empty[Set[String], RDD[(String, (String, Array[Byte]))]]
-    def saltedPages(hot: Set[String]): RDD[(String, (String, Array[Byte]))] =
+      mutable.Map.empty[Map[String, Int], RDD[(String, (String, Array[Byte]))]]
+    def saltedPages(hot: Map[String, Int]): RDD[(String, (String, Array[Byte]))] =
       saltedLayouts.getOrElseUpdate(hot, pagesByFile
         .filter { case (fl, _) => hot.contains(fl) }
         .flatMap { case (fl, v) =>
-          (0 until width).iterator.map(s => (fl + "\u0000" + s, v)) }
+          (0 until hot(fl)).iterator.map(s => (fl + "\u0000" + s, v)) }
         .partitionBy(part)
         .persist(sl))
 
@@ -598,7 +603,7 @@ object MstrJoinPipeline {
       * fragments and follow-up requests stay distributed.
       */
     def stage[R: ClassTag](reqs: RDD[(String, R)],
-                           extraHot: Set[String] = Set.empty)(
+                           extraHot: Map[String, Int] = Map.empty)(
         f: (Soup, MstrIndexes, Seq[R]) => Seq[Frag]): RDD[Frag] = {
       def leg(pagesRdd: RDD[(String, (String, Array[Byte]))],
               keyed: RDD[(String, R)]): RDD[Frag] = {
@@ -617,23 +622,30 @@ object MstrJoinPipeline {
           }
         }
       }
-      // this stage's hot set: planning-time static ∪ measured
-      // (predecessor-probe) — both split identically
-      val hot = hotFiles ++ extraHot
+      // this stage's hot map: planning-time static ∪ measured
+      // (predecessor-probe), a file hot in both keeping its widest
+      // split — both detectors' files route identically
+      val hot =
+        if (extraHot.isEmpty) hotFiles
+        else (hotFiles.keySet ++ extraHot.keySet).iterator.map { f =>
+          f -> math.max(hotFiles.getOrElse(f, 0), extraHot.getOrElse(f, 0))
+        }.toMap
       if (hot.isEmpty) leg(pagesByFile, reqs)
       else {
-        // hot requests split across `width` salted keys against the
-        // replicated hot layout; the salt is a deterministic hash of
-        // the request itself, so both plans and any partitioning see
-        // the same (request → salt) assignment. Each request still
-        // meets its page exactly once — output identity is untouched,
-        // only task granularity changes.
+        // hot requests split across the file's ADAPTIVE salt count
+        // against the replicated hot layout; the salt is a
+        // deterministic hash of the request itself, so both plans and
+        // any partitioning see the same (request → salt) assignment.
+        // Each request still meets its page exactly once — output
+        // identity is untouched, only task granularity changes.
         val cold = leg(pagesByFile,
           reqs.filter { case (fl, _) => !hot.contains(fl) })
         val hotLeg = leg(saltedPages(hot),
           reqs.flatMap { case (fl, r) =>
-            if (!hot.contains(fl)) None
-            else Some((fl + "\u0000" + math.floorMod(r.hashCode, width), r))
+            hot.get(fl) match {
+              case None    => None
+              case Some(k) => Some((fl + "\u0000" + math.floorMod(r.hashCode, k), r))
+            }
           })
         cold.union(hotLeg)
       }
@@ -980,16 +992,39 @@ object MstrJoinPipeline {
     * exports produce stay far below it). Driver-side, zero Spark jobs.
     */
   private[graft] def hotFilesOf(populations: Seq[Iterator[String]],
-                               width: Int): Set[String] =
-    populations.iterator.flatMap { files =>
+                               width: Int): Map[String, Int] = {
+    val out = mutable.Map.empty[String, Int]
+    populations.foreach { files =>
       val counts = mutable.Map.empty[String, Long]
       var total = 0L
       files.foreach { f =>
         if (f.nonEmpty) { counts.update(f, counts.getOrElse(f, 0L) + 1L); total += 1L }
       }
       val threshold = fairShareThreshold(total, width)
-      counts.iterator.filter(_._2 > threshold).map(_._1)
-    }.toSet
+      counts.foreach { case (f, c) =>
+        if (c > threshold) {
+          val k = saltCountOf(c, threshold, width)
+          // a file hot in several populations keeps its widest split
+          if (k > out.getOrElse(f, 0)) out.update(f, k)
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Adaptive salt count for a hot file: enough salts that each
+    * carries ~half-threshold (= max(32, fair share)) requests, capped
+    * at `width`. A fan-in file holding nearly the whole stage splits
+    * all the way to `width`; a file barely over threshold splits 2-3
+    * ways — crucial at large widths, where replicating (and having
+    * every salt task deserialize, and non-empty ones parse) a
+    * marginally-hot page `width`× would cost more than the skew it
+    * removes.
+    */
+  private[graft] def saltCountOf(est: Long, threshold: Long, width: Int): Int = {
+    val perSalt = math.max(1L, threshold / 2)
+    math.min(width.toLong, math.max(2L, (est + perSalt - 1) / perSalt)).toInt
+  }
 
   /** The one fair-share hot rule BOTH detectors (planning-time
     * [[hotFilesOf]], measured [[ProbeStats.hotFiles]]) judge against:

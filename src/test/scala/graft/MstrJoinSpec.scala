@@ -88,8 +88,10 @@ class MstrJoinSpec extends AnyFunSuite {
   test("hot-file detection: 2x fair-share per population, floor 64, even layouts cold") {
     def files(n: Int, perFile: Int): Iterator[String] =
       (0 until n).iterator.map(i => s"F_${i / perFile}.html")
-    // one file holding all 600 links of a 600-link population is hot at width 4
-    assert(MstrJoinPipeline.hotFilesOf(Seq(files(600, 600)), 4) == Set("F_0.html"))
+    // one file holding all 600 links of a 600-link population is hot at
+    // width 4 — and splits all the way (600 / half-threshold 150 = 4)
+    assert(MstrJoinPipeline.hotFilesOf(Seq(files(600, 600)), 4)
+      == Map("F_0.html" -> 4))
     // spread 10-per-file: fair share 150, nothing crosses 2x
     assert(MstrJoinPipeline.hotFilesOf(Seq(files(600, 10)), 4).isEmpty)
     // floor: a 60-request file is never split even at high width
@@ -98,7 +100,30 @@ class MstrJoinSpec extends AnyFunSuite {
     // index must not hide behind a big one's total
     assert(MstrJoinPipeline.hotFilesOf(
       Seq(files(10000, 10), (0 until 500).iterator.map(_ => "Hot.html")), 4)
-      == Set("Hot.html"))
+      .keySet == Set("Hot.html"))
+  }
+
+  test("adaptive salt count: ~half-threshold requests per salt, capped at width, min 2") {
+    import MstrJoinPipeline.{fairShareThreshold, saltCountOf}
+    // barely hot at huge width: 65 reqs of 65 total, width 1000 —
+    // threshold floors at 64 (hot), but splitting 1000 ways would
+    // replicate the page 1000x for 65 requests; half-threshold 32/salt
+    // gives 3 salts
+    assert(saltCountOf(65, fairShareThreshold(65, 1000), 1000) == 3)
+    // fan-in: the whole stage on one file splits to full width
+    // (threshold 1312, half 656: ceil(21000/656) = 33, capped at 32)
+    assert(saltCountOf(21000, fairShareThreshold(21000, 32), 32) == 32)
+    // 3x fair share at width 32 (total 3200: threshold 200): 450 reqs
+    // -> ceil(450/100) = 5 salts, not 32
+    assert(saltCountOf(450, fairShareThreshold(3200, 32), 32) == 5)
+    // never fewer than 2 (a hot file must actually split)
+    assert(saltCountOf(65, fairShareThreshold(2000, 4), 4) >= 2)
+    // a file hot in two populations keeps its widest split
+    val both = MstrJoinPipeline.hotFilesOf(Seq(
+      (0 until 500).iterator.map(_ => "Hot.html"),                  // 500/500: k=4 at width 4
+      (0 until 9000).iterator.map(i =>
+        if (i < 3000) "Hot.html" else s"F_${i % 40}.html")), 4)     // 3000/9000: threshold 4500 -> cold here
+    assert(both("Hot.html") == 4)
   }
 
   test("fan-in corpus: measured hot detection engages and stays byte-identical to broadcast") {
@@ -156,8 +181,9 @@ class MstrJoinSpec extends AnyFunSuite {
     (1 to 40).foreach(i => st.add(Frag(s"G$i.html", Frag.KDs, Array.emptyByteArray)))
     (1 to 100).foreach(_ => st.add(Frag("rep1", Frag.KFrag, Array.emptyByteArray)))
     assert(st.count(Frag.KDs) == 440 && st.count(Frag.KFrag) == 100)
-    // 400 of 440 on one file at width 4: threshold max(64, 220) = 220
-    assert(st.hotFiles(Seq(Frag.KDs), 4) == Set("F.html"))
+    // 400 of 440 on one file at width 4: threshold max(64, 220) = 220,
+    // half-threshold 110/salt -> ceil(400/110) = 4 salts
+    assert(st.hotFiles(Seq(Frag.KDs), 4) == Map("F.html" -> 4))
     // same distribution at width 1: fair share is the whole list — cold
     assert(st.hotFiles(Seq(Frag.KDs), 1).isEmpty)
     // a stage consuming two kinds judges each file against the
@@ -168,7 +194,7 @@ class MstrJoinSpec extends AnyFunSuite {
     (1 to 100).foreach(_ => st2.add(Frag("F.html", Frag.KAttr, Array.emptyByteArray)))
     (1 to 2000).foreach(i =>
       st2.add(Frag(s"M${i % 40}.html", Frag.KMetric, Array.emptyByteArray)))
-    assert(st2.hotFiles(Seq(Frag.KAttr), 4) == Set("F.html"),
+    assert(st2.hotFiles(Seq(Frag.KAttr), 4).keySet == Set("F.html"),
       "sanity: judged on its kind alone the file crosses the floor")
     assert(st2.hotFiles(Seq(Frag.KAttr, Frag.KMetric), 4).isEmpty,
       "combined stage workload: 100 of 2100 requests is not a straggler")
@@ -182,7 +208,7 @@ class MstrJoinSpec extends AnyFunSuite {
     (1 to 300).foreach(_ => st3.add(Frag("fact.html", Frag.KFact, Array.emptyByteArray)))
     (1 to 50).foreach(i => st3.add(Frag(s"f$i.html", Frag.KFact, Array.emptyByteArray)))
     // KFact total 350 at width 4: threshold max(64, 175) = 175 < 300
-    assert(st3.hotFiles(Seq(Frag.KFact), 4) == Set("fact.html"),
+    assert(st3.hotFiles(Seq(Frag.KFact), 4).keySet == Set("fact.html"),
       "metric-kind compaction pressure leaked into the fact sketch")
   }
 
