@@ -504,6 +504,9 @@ object MstrJoinPipeline {
     val sl = StorageLevel.MEMORY_AND_DISK
     val width = math.max(urlHtml.getNumPartitions, 1)
     val part = new org.apache.spark.HashPartitioner(width)
+    // the salted leg's partitioner: places salt s of file f at
+    // (hash(f) + s) mod width — k distinct partitions by construction
+    val saltedPart = new SaltedPartitioner(width)
     val pagesByFile: RDD[(String, (String, Array[Byte]))] = urlHtml
       .filter { case (url, _) => !indexFiles.contains(fileName(url)) }
       .map { case (url, html) => (fileName(url), (url, html)) }
@@ -577,21 +580,42 @@ object MstrJoinPipeline {
         if (hot.nonEmpty) lastMeasuredHot.updateAndGet(_ ++ hot.keySet)
         hot
       }
-    // hot pages replicated once per ADAPTIVE salt under the SAME
-    // partitioner (composite key file + NUL + salt); tiny — Σ per-file
-    // salt counts rows. One persisted layout per distinct hot MAP (in
-    // practice one or two per run: the static map, plus measured
-    // unions when a fan-in stage differs), reused by every stage that
-    // sees that map and released with the stage caches.
-    val saltedLayouts =
-      mutable.Map.empty[Map[String, Int], RDD[(String, (String, Array[Byte]))]]
-    def saltedPages(hot: Map[String, Int]): RDD[(String, (String, Array[Byte]))] =
-      saltedLayouts.getOrElseUpdate(hot, pagesByFile
-        .filter { case (fl, _) => hot.contains(fl) }
-        .flatMap { case (fl, v) =>
-          (0 until hot(fl)).iterator.map(s => (fl + "\u0000" + s, v)) }
-        .partitionBy(part)
-        .persist(sl))
+    // hot pages replicated once per ADAPTIVE salt token under the SAME
+    // partitioner; tiny — Σ per-file salt counts rows. Layouts cache by
+    // hot-file KEY SET with a per-file high-water salt count: the salt
+    // tokens' prefix property (saltTokens) means a layout replicated at
+    // count k serves any stage needing that file at ≤ k, so stages
+    // whose measured estimates jitter (k 4 vs 5 on the same file) share
+    // one persisted layout instead of re-filtering and re-shuffling the
+    // page corpus per stage. A stage needing MORE salts than the cached
+    // high-water builds a widened replacement (the superseded RDD stays
+    // persisted until run-end cleanup — a lazy consumer like stage F
+    // may still hold it).
+    val saltedLayouts = mutable.Map.empty[
+      Set[String], (Map[String, Int], RDD[(String, (String, Array[Byte]))])]
+    val supersededLayouts = mutable.ArrayBuffer.empty[RDD[_]]
+    def saltedPages(hot: Map[String, Int]): RDD[(String, (String, Array[Byte]))] = {
+      val cached = saltedLayouts.get(hot.keySet)
+      cached match {
+        case Some((counts, rdd)) if hot.forall { case (f, k) => counts(f) >= k } =>
+          rdd
+        case _ =>
+          val merged = cached match {
+            case Some((counts, _)) =>
+              hot.map { case (f, k) => f -> math.max(k, counts(f)) }
+            case None => hot
+          }
+          val rdd = pagesByFile
+            .filter { case (fl, _) => merged.contains(fl) }
+            .flatMap { case (fl, v) =>
+              (0 until merged(fl)).iterator.map(s => (fl + "\u0000" + s, v)) }
+            .partitionBy(saltedPart)
+            .persist(sl)
+          cached.foreach { case (_, old) => supersededLayouts += old }
+          saltedLayouts.update(hot.keySet, (merged, rdd))
+          rdd
+      }
+    }
 
     /** One stage = one co-partitioned zipPartitions join: the request
       * table (entity-scale by design — the reference's work lists)
@@ -607,7 +631,11 @@ object MstrJoinPipeline {
         f: (Soup, MstrIndexes, Seq[R]) => Seq[Frag]): RDD[Frag] = {
       def leg(pagesRdd: RDD[(String, (String, Array[Byte]))],
               keyed: RDD[(String, R)]): RDD[Frag] = {
-        val reqsP = keyed.partitionBy(part)
+        // co-partition the requests under the PAGES side's partitioner
+        // (the pinned hash layout for the cold leg, the salted
+        // partitioner for salted layouts) — zipPartitions correctness
+        // rests on both sides agreeing
+        val reqsP = keyed.partitionBy(pagesRdd.partitioner.getOrElse(part))
         pagesRdd.zipPartitions(reqsP) { (pIt, rIt) =>
           val byFile = new java.util.HashMap[String, mutable.ArrayBuffer[R]]()
           rIt.foreach { case (fl, r) =>
@@ -978,7 +1006,8 @@ object MstrJoinPipeline {
     // driver should a lost block ever force lineage recompute.
     persisted.foreach(_.unpersist(blocking = false))
     pagesByFile.unpersist(blocking = false)
-    saltedLayouts.valuesIterator.foreach(_.unpersist(blocking = false))
+    saltedLayouts.valuesIterator.foreach(_._2.unpersist(blocking = false))
+    supersededLayouts.foreach(_.unpersist(blocking = false))
     bIdx.unpersist(blocking = false)
     result
   }
@@ -1024,6 +1053,34 @@ object MstrJoinPipeline {
   private[graft] def saltCountOf(est: Long, threshold: Long, width: Int): Int = {
     val perSalt = math.max(1L, threshold / 2)
     math.min(width.toLong, math.max(2L, (est + perSalt - 1) / perSalt)).toInt
+  }
+
+  /** Partitioner for the salted leg: salt s of file f goes to
+    * partition (hash(f) + s) mod width, so a k-way split occupies k
+    * DISTINCT partitions BY CONSTRUCTION. Hashing the composite string
+    * instead (the naive choice) lets small-k splits collide into one
+    * partition and quietly resurrect the straggler — String.hashCode
+    * mod 2^m is structurally degenerate (31 ≡ −1 mod 32: the hash
+    * collapses to an alternating char sum, and integer suffixes cannot
+    * even REACH some residues). Plain-string keys (no NUL) fall back
+    * to the HashPartitioner rule, and salts 0..k-1 make a lower-k key
+    * set a subset of any higher-k one, which is what lets a persisted
+    * layout with a high-water salt count serve lower-count stages.
+    */
+  private[graft] final class SaltedPartitioner(width: Int)
+      extends org.apache.spark.Partitioner {
+    def numPartitions: Int = width
+    def getPartition(key: Any): Int = {
+      val k = key.asInstanceOf[String]
+      val i = k.lastIndexOf('\u0000')
+      if (i < 0) math.floorMod(k.hashCode, width)
+      else math.floorMod(k.substring(0, i).hashCode + k.substring(i + 1).toInt, width)
+    }
+    override def equals(o: Any): Boolean = o match {
+      case sp: SaltedPartitioner => sp.numPartitions == width
+      case _                     => false
+    }
+    override def hashCode: Int = width
   }
 
   /** The one fair-share hot rule BOTH detectors (planning-time

@@ -126,6 +126,31 @@ class MstrJoinSpec extends AnyFunSuite {
     assert(both("Hot.html") == 4)
   }
 
+  test("salted partitioner: k salts occupy k distinct partitions; plain keys = hash rule") {
+    // hashing the composite string would let small-k splits collide
+    // into one partition (String.hashCode mod 2^m is structurally
+    // degenerate: 31 \u2261 -1 mod 32) and quietly resurrect the
+    // straggler; the salted partitioner places salt s of file f at
+    // (hash(f) + s) mod width, distinct by construction
+    for (file <- Seq("Cubo.html", "M\u00e9trica.html", "x"); width <- Seq(4, 8, 32);
+         k <- 2 to width) {
+      val sp = new MstrJoinPipeline.SaltedPartitioner(width)
+      val parts = (0 until k).map(s => sp.getPartition(file + "\u0000" + s)).toSet
+      assert(parts.size == k, s"$file k=$k width=$width collided")
+    }
+    // unsalted keys follow the pinned HashPartitioner rule, so a
+    // salted layout and a plain layout disagree ONLY on salted keys
+    val sp = new MstrJoinPipeline.SaltedPartitioner(32)
+    val hp = new org.apache.spark.HashPartitioner(32)
+    Seq("A.html", "relat\u00f3rio_1.html").foreach { f =>
+      assert(sp.getPartition(f) == hp.getPartition(f))
+    }
+    // salts 0..k-1: a lower-k key set is a subset of any higher-k one
+    // (the layout-sharing precondition) \u2014 structural, by construction
+    assert((0 until 3).map(s => s"F\u0000$s").toSet
+      .subsetOf((0 until 8).map(s => s"F\u0000$s").toSet))
+  }
+
   test("fan-in corpus: measured hot detection engages and stays byte-identical to broadcast") {
     import spark.implicits._
     // every report's primary dataset is THE SAME cube section: the
