@@ -580,11 +580,11 @@ object MstrJoinPipeline {
         if (hot.nonEmpty) lastMeasuredHot.updateAndGet(_ ++ hot.keySet)
         hot
       }
-    // hot pages replicated once per ADAPTIVE salt token under the SAME
+    // hot pages replicated once per ADAPTIVE salt under the salted
     // partitioner; tiny — Σ per-file salt counts rows. Layouts cache by
-    // hot-file KEY SET with a per-file high-water salt count: the salt
-    // tokens' prefix property (saltTokens) means a layout replicated at
-    // count k serves any stage needing that file at ≤ k, so stages
+    // hot-file KEY SET with a per-file high-water salt count: salts
+    // are 0..k-1 ([[saltKey]]), so a layout replicated at count k
+    // contains every key a stage needing that file at ≤ k emits — stages
     // whose measured estimates jitter (k 4 vs 5 on the same file) share
     // one persisted layout instead of re-filtering and re-shuffling the
     // page corpus per stage. A stage needing MORE salts than the cached
@@ -608,7 +608,7 @@ object MstrJoinPipeline {
           val rdd = pagesByFile
             .filter { case (fl, _) => merged.contains(fl) }
             .flatMap { case (fl, v) =>
-              (0 until merged(fl)).iterator.map(s => (fl + "\u0000" + s, v)) }
+              (0 until merged(fl)).iterator.map(s => (saltKey(fl, s), v)) }
             .partitionBy(saltedPart)
             .persist(sl)
           cached.foreach { case (_, old) => supersededLayouts += old }
@@ -672,7 +672,7 @@ object MstrJoinPipeline {
           reqs.flatMap { case (fl, r) =>
             hot.get(fl) match {
               case None    => None
-              case Some(k) => Some((fl + "\u0000" + math.floorMod(r.hashCode, k), r))
+              case Some(k) => Some((saltKey(fl, math.floorMod(r.hashCode, k)), r))
             }
           })
         cold.union(hotLeg)
@@ -1074,7 +1074,23 @@ object MstrJoinPipeline {
       val k = key.asInstanceOf[String]
       val i = k.lastIndexOf('\u0000')
       if (i < 0) math.floorMod(k.hashCode, width)
-      else math.floorMod(k.substring(0, i).hashCode + k.substring(i + 1).toInt, width)
+      else {
+        // inverse of saltKey, allocation-free (this runs per record on
+        // the salted request shuffle): prefix hash by char loop, salt
+        // by digit loop. The sum is taken in LONG — Int overflow at a
+        // non-power-of-two width would shift post-wrap salts by
+        // (-2^32 mod width) instead of +1 and let two salts collide,
+        // quietly weakening the k-distinct-partitions guarantee
+        // (powers of two are immune, which is why only a
+        // near-MaxValue-hash fixture catches it).
+        var h = 0
+        var j = 0
+        while (j < i) { h = 31 * h + k.charAt(j); j += 1 }
+        var salt = 0L
+        j = i + 1
+        while (j < k.length) { salt = salt * 10 + (k.charAt(j) - '0'); j += 1 }
+        math.floorMod(h.toLong + salt, width.toLong).toInt
+      }
     }
     override def equals(o: Any): Boolean = o match {
       case sp: SaltedPartitioner => sp.numPartitions == width
@@ -1082,6 +1098,14 @@ object MstrJoinPipeline {
     }
     override def hashCode: Int = width
   }
+
+  /** THE salted-key rule — the one builder every salted surface uses
+    * (layout replication, request routing; [[SaltedPartitioner]]
+    * implements its inverse): divergence between any two of them
+    * silently breaks join matching or partition placement.
+    */
+  private[graft] def saltKey(file: String, salt: Int): String =
+    file + "\u0000" + salt
 
   /** The one fair-share hot rule BOTH detectors (planning-time
     * [[hotFilesOf]], measured [[ProbeStats.hotFiles]]) judge against:

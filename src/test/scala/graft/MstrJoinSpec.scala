@@ -127,28 +127,37 @@ class MstrJoinSpec extends AnyFunSuite {
   }
 
   test("salted partitioner: k salts occupy k distinct partitions; plain keys = hash rule") {
+    import MstrJoinPipeline.{SaltedPartitioner, saltKey}
     // hashing the composite string would let small-k splits collide
     // into one partition (String.hashCode mod 2^m is structurally
     // degenerate: 31 \u2261 -1 mod 32) and quietly resurrect the
     // straggler; the salted partitioner places salt s of file f at
-    // (hash(f) + s) mod width, distinct by construction
-    for (file <- Seq("Cubo.html", "M\u00e9trica.html", "x"); width <- Seq(4, 8, 32);
-         k <- 2 to width) {
-      val sp = new MstrJoinPipeline.SaltedPartitioner(width)
-      val parts = (0 until k).map(s => sp.getPartition(file + "\u0000" + s)).toSet
+    // (hash(f) + s) mod width, distinct by construction. Width 1000
+    // (non-power-of-two) with a near-MaxValue-hash file pins the Int
+    // overflow case: "F8261463.html".hashCode = Int.MaxValue - 252, so
+    // salts >= 253 wrap in 32-bit math and would shift by
+    // (-2^32 mod 1000) instead of +1, colliding pairs of salts \u2014
+    // powers of two are immune, which is why they can't catch it.
+    assert("F8261463.html".hashCode == Int.MaxValue - 252, "fixture hash moved")
+    for (file <- Seq("Cubo.html", "M\u00e9trica.html", "x", "F8261463.html");
+         width <- Seq(4, 8, 32, 1000); k <- Seq(2, 3, 5, 8, width / 2, width)
+           if k >= 2 && k <= width) {
+      val sp = new SaltedPartitioner(width)
+      val parts = (0 until k).map(s => sp.getPartition(saltKey(file, s))).toSet
       assert(parts.size == k, s"$file k=$k width=$width collided")
     }
+    // the partitioner is the exact inverse of the saltKey builder
+    val sp = new SaltedPartitioner(1000)
+    for (f <- Seq("A.html", "F8261463.html"); s <- Seq(0, 1, 252, 253, 999))
+      assert(sp.getPartition(saltKey(f, s)) ==
+        math.floorMod(f.hashCode.toLong + s, 1000L).toInt)
     // unsalted keys follow the pinned HashPartitioner rule, so a
     // salted layout and a plain layout disagree ONLY on salted keys
-    val sp = new MstrJoinPipeline.SaltedPartitioner(32)
+    val sp32 = new SaltedPartitioner(32)
     val hp = new org.apache.spark.HashPartitioner(32)
     Seq("A.html", "relat\u00f3rio_1.html").foreach { f =>
-      assert(sp.getPartition(f) == hp.getPartition(f))
+      assert(sp32.getPartition(f) == hp.getPartition(f))
     }
-    // salts 0..k-1: a lower-k key set is a subset of any higher-k one
-    // (the layout-sharing precondition) \u2014 structural, by construction
-    assert((0 until 3).map(s => s"F\u0000$s").toSet
-      .subsetOf((0 until 8).map(s => s"F\u0000$s").toSet))
   }
 
   test("fan-in corpus: measured hot detection engages and stays byte-identical to broadcast") {
