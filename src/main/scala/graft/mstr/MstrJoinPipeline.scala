@@ -595,11 +595,23 @@ object MstrJoinPipeline {
       Set[String], (Map[String, Int], RDD[(String, (String, Array[Byte]))])]
     val supersededLayouts = mutable.ArrayBuffer.empty[RDD[_]]
     def saltedPages(hot: Map[String, Int]): RDD[(String, (String, Array[Byte]))] = {
+      def covers(counts: Map[String, Int]): Boolean =
+        hot.forall { case (f, k) => counts.getOrElse(f, 0) >= k }
       val cached = saltedLayouts.get(hot.keySet)
       cached match {
-        case Some((counts, rdd)) if hot.forall { case (f, k) => counts(f) >= k } =>
+        case Some((counts, rdd)) if covers(counts) =>
           rdd
         case _ =>
+          // No exact-keyset hit: any persisted SUPERSET layout whose
+          // per-file high-water covers every requested count serves this
+          // stage as-is (salts are 0..k-1, extra files' keys are simply
+          // never looked up by the request map) — measured jitter that
+          // DROPS a file between stages must not re-filter and re-shuffle
+          // the page corpus.
+          saltedLayouts.valuesIterator
+            .find { case (counts, _) => covers(counts) }
+            .map(_._2)
+            .getOrElse {
           val merged = cached match {
             case Some((counts, _)) =>
               hot.map { case (f, k) => f -> math.max(k, counts(f)) }
@@ -614,6 +626,7 @@ object MstrJoinPipeline {
           cached.foreach { case (_, old) => supersededLayouts += old }
           saltedLayouts.update(hot.keySet, (merged, rdd))
           rdd
+          }
       }
     }
 
