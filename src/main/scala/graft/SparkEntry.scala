@@ -67,6 +67,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardDups(s, d, 0.8)),
     "q_embed_neardup" -> ((s, d) => DedupOps.embeddingNearDups(s, d)),
     "q_dedup_cc" -> ((s, d) => DedupOps.lshConnectedComponents(s, d)),
+    "q_para_dedup" -> ((s, d) => DedupOps.paraDedup(s, d)),
     // ---- similarity search ----
     "q_cosine_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => SimilarityOps.lshBucketedNeighbors(s, d)),
@@ -381,6 +382,7 @@ object SparkEntry {
     "q_srp_recall" -> srpRecallOracle,
     "q_embed_neardup" -> embedNearDupOracle,
     "q_dedup_cc" -> dedupCcOracle,
+    "q_para_dedup" -> paraDedupOracle,
 
     "q_pii_redact" ->
       """WITH injected AS (
@@ -475,6 +477,42 @@ object SparkEntry {
   )
 
   // ---- long composed oracles ----
+
+  /** Mirrors [[graft.ops.DedupOps.paraDedup]]: 20-token paragraph
+    * chunking, injected header/footer boilerplate, first-wins by
+    * ord = doc_id * 1000000 + idx, rebuild digest over kept paragraphs
+    * in position order.
+    */
+  private val paraDedupOracle: String =
+    """WITH d AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       p AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN ['cookie policy applies to this site']
+                ELSE CAST([] AS VARCHAR[]) END
+           || list_transform(
+                generate_series(0, CAST(floor((len(t) - 1) / 20.0) AS INT)),
+                i -> array_to_string(t[i*20+1:i*20+20], ' '))
+           || ['subscribe to the newsletter for updates'] AS paras
+         FROM d),
+       occ AS (
+         SELECT doc_id, u.idx, paras[u.idx] AS para,
+                doc_id * 1000000 + u.idx AS ord
+         FROM p, unnest(generate_series(1, len(paras))) AS u(idx)),
+       firsts AS (
+         SELECT md5(para) AS h, min(ord) AS keep_ord
+         FROM occ GROUP BY 1),
+       kept AS (
+         SELECT occ.doc_id, occ.idx, occ.para
+         FROM occ JOIN firsts
+           ON md5(occ.para) = firsts.h AND occ.ord = firsts.keep_ord)
+       SELECT p.doc_id,
+              CAST(len(p.paras) AS BIGINT) AS n_paras,
+              CAST(count(*) AS BIGINT) AS n_kept,
+              md5(string_agg(kept.para, chr(10) ORDER BY kept.idx)) AS digest
+       FROM p JOIN kept ON p.doc_id = kept.doc_id
+       GROUP BY p.doc_id, p.paras"""
 
   private val qualityOracle: String =
     """SELECT doc_id,

@@ -433,4 +433,76 @@ object DedupOps {
       .groupBy(col("b").as("doc_id"))
       .agg(min(col("a")).as("dup_of"))
   }
+
+  /** Paragraph chunk width for [[paraDedup]]. */
+  final val ParaTokens = 20
+  /** Ordinal encoding base: ord = doc_id * ParaOrdBase + idx. Valid
+    * while every document has fewer than ParaOrdBase paragraphs —
+    * guaranteed here (docs are KB-scale) and checked by construction
+    * (idx comes from a bounded sequence).
+    */
+  final val ParaOrdBase = 1000000L
+  private val ParaFooter = "subscribe to the newsletter for updates"
+  private val ParaHeader = "cookie policy applies to this site"
+
+  /** Paragraph-level corpus dedup (CCNet-style boilerplate removal):
+    * documents are segmented into paragraphs, every paragraph keeps
+    * only its FIRST corpus-wide occurrence (document order, then
+    * position order), and documents are reassembled from their
+    * surviving paragraphs. Shared boilerplate — a footer every page
+    * carries, a cookie banner on a subset — thus survives exactly once
+    * corpus-wide and vanishes everywhere else, which is the actual
+    * CCNet/RefinedWeb use of paragraph hashes.
+    *
+    * The synthetic corpus has no newlines, so segmentation is
+    * deterministic re-chunking into [[ParaTokens]]-token windows, and
+    * the boilerplate is injected as a fixture (footer on every doc,
+    * header when doc_id % 7 == 0) — the injection IS the fixture, as
+    * with [[CorpusOps.piiRedact]].
+    *
+    * Scale shape (the part that matters at 10^12 docs): paragraph TEXT
+    * never crosses an exchange. Occurrences shuffle as bare
+    * (md5, ord) pairs for the first-wins aggregation; the kept set
+    * returns to each document as an int-array of paragraph indices
+    * (one shuffle keyed on doc_id); the rebuild re-derives paragraph
+    * text row-locally from the original scan. Both shuffles are
+    * map-side-combinable aggregations.
+    */
+  def paraDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+    // paragraphs per doc, 1-based idx; header/footer injection
+    val paras = d.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 7 === 0, array(lit(ParaHeader)))
+          .otherwise(array().cast("array<string>")),
+        transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / ParaTokens).cast("int")),
+          i => array_join(slice(col("toks"), i * ParaTokens + 1, lit(ParaTokens)), " ")),
+        array(lit(ParaFooter))).as("paras"))
+    // occurrences as (hash, ord) — nothing else crosses the shuffle
+    val occ = paras.select(col("doc_id"),
+        posexplode(col("paras")).as(Seq("idx0", "para")))
+      .select(md5(col("para")).as("h"),
+        (col("doc_id") * ParaOrdBase + col("idx0") + 1).as("ord"))
+    // ords are globally unique, so "this occurrence is its group's
+    // first" ⟺ "its ord is in the keep_ord set" — the kept set needs
+    // only a long-keyed join, no hash strings in the second shuffle
+    val firsts = occ.groupBy(col("h")).agg(min(col("ord")).as("keep_ord"))
+      .select(col("keep_ord"))
+    val kept = firsts
+      .select((col("keep_ord") / ParaOrdBase).cast("long").as("doc_id"),
+        (col("keep_ord") % ParaOrdBase).cast("int").as("idx"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
+    // rebuild row-locally: paragraph text is re-derived from the scan,
+    // only the int index array arrived via shuffle
+    paras.join(kept, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        size(col("kept_idx")).cast("long").as("n_kept"),
+        md5(array_join(
+          filter(col("paras"), (_, i) => array_contains(col("kept_idx"), i + 1)),
+          "\n")).as("digest"))
+  }
 }

@@ -440,4 +440,53 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     val res = spark.sql("SELECT sum(docs) FROM page_metrics").as[Long].collect().head
     assert(res == 30)
   }
+
+  test("paraDedup matches a brute-force first-wins reference; no text crosses a shuffle") {
+    import graft.ops.DedupOps
+    val dir = "/root/testdata/sf0.001"
+    val q = DedupOps.paraDedup(spark, dir)
+
+    // brute-force reference over the collected corpus: chunk, inject,
+    // first-wins by (doc_id, idx), reassemble
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val parasOf = src.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val chunks = toks.grouped(DedupOps.ParaTokens).map(_.mkString(" ")).toVector
+      val withHdr = if (id % 7 == 0)
+        "cookie policy applies to this site" +: chunks else chunks
+      id -> (withHdr :+ "subscribe to the newsletter for updates")
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = parasOf.map { case (id, paras) =>
+      val kept = paras.filter(p => seen.add(p)) // in-order first-wins
+      id -> (paras.size.toLong, kept.size.toLong, md5hex(kept.mkString("\n")))
+    }.toMap
+
+    val got = q.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+    // the fixture actually bites: every non-first doc loses the footer
+    expected.foreach { case (id, (nParas, nKept, _)) =>
+      if (id == 0L) assert(nKept == nParas)
+      else assert(nKept < nParas, s"doc $id must lose shared boilerplate")
+    }
+
+    // scale guard: paragraph/text columns never cross an exchange —
+    // occurrences shuffle as (md5, ord), the kept set as int arrays
+    val forbidden = Set("text", "toks", "para", "paras")
+    q.queryExecution.sparkPlan.foreach {
+      case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        val bad = ex.child.output.map(_.name).filter(forbidden)
+        assert(bad.isEmpty, s"text-bearing columns cross a shuffle: $bad")
+      case _ =>
+    }
+  }
 }
