@@ -68,6 +68,7 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, d) => DedupOps.embeddingNearDups(s, d)),
     "q_dedup_cc" -> ((s, d) => DedupOps.lshConnectedComponents(s, d)),
     "q_para_dedup" -> ((s, d) => DedupOps.paraDedup(s, d)),
+    "q_span_dedup" -> ((s, d) => DedupOps.spanDedup(s, d)),
     // ---- similarity search ----
     "q_cosine_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => SimilarityOps.lshBucketedNeighbors(s, d)),
@@ -383,6 +384,7 @@ object SparkEntry {
     "q_embed_neardup" -> embedNearDupOracle,
     "q_dedup_cc" -> dedupCcOracle,
     "q_para_dedup" -> paraDedupOracle,
+    "q_span_dedup" -> spanDedupOracle,
 
     "q_pii_redact" ->
       """WITH injected AS (
@@ -513,6 +515,38 @@ object SparkEntry {
               md5(string_agg(kept.para, chr(10) ORDER BY kept.idx)) AS digest
        FROM p JOIN kept ON p.doc_id = kept.doc_id
        GROUP BY p.doc_id, p.paras"""
+
+  /** Mirrors [[graft.ops.DedupOps.spanDedup]]: 8-gram occurrences,
+    * first-wins by ord, every non-first occurrence marks its 8 token
+    * positions, marked tokens cut, digest over the remaining tokens.
+    */
+  private val spanDedupOracle: String =
+    """WITH d AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       occ AS (
+         SELECT doc_id, u.p AS pos,
+                md5(array_to_string(t[u.p:u.p+7], ' ')) AS h,
+                doc_id * 1000000 + u.p AS ord
+         FROM d, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(p)),
+       keeps AS (
+         SELECT min(ord) AS keep_ord FROM occ GROUP BY h),
+       marks AS (
+         SELECT DISTINCT occ.doc_id, v.i AS tpos
+         FROM occ, unnest(generate_series(occ.pos, occ.pos + 7)) AS v(i)
+         WHERE occ.ord NOT IN (SELECT keep_ord FROM keeps)),
+       tok AS (
+         SELECT doc_id, u.i AS tpos, t[u.i] AS w
+         FROM d, unnest(generate_series(1, len(t))) AS u(i)),
+       kept AS (
+         SELECT tok.doc_id, tok.tpos, tok.w FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM marks
+           WHERE marks.doc_id = tok.doc_id AND marks.tpos = tok.tpos))
+       SELECT d.doc_id,
+              CAST(len(d.t) AS BIGINT) AS n_tokens,
+              CAST(len(d.t) - count(kept.tpos) AS BIGINT) AS n_removed,
+              md5(coalesce(string_agg(kept.w, ' ' ORDER BY kept.tpos), '')) AS digest
+       FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+       GROUP BY d.doc_id, d.t"""
 
   private val qualityOracle: String =
     """SELECT doc_id,

@@ -496,7 +496,11 @@ object DedupOps {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
     // rebuild row-locally: paragraph text is re-derived from the scan,
-    // only the int index array arrived via shuffle
+    // only the int index array arrived via shuffle. The doc-side of
+    // this join needs no exchange when the kept side broadcasts (test
+    // scale, plan-asserted) or the corpus table is bucketed by doc_id
+    // (the 10^12-doc layout — TableIO's bucketed tables); either way
+    // nothing text-bearing shuffles.
     paras.join(kept, Seq("doc_id"))
       .select(col("doc_id"),
         size(col("paras")).cast("long").as("n_paras"),
@@ -504,5 +508,61 @@ object DedupOps {
         md5(array_join(
           filter(col("paras"), (_, i) => array_contains(col("kept_idx"), i + 1)),
           "\n")).as("digest"))
+  }
+
+  /** Span-gram width for [[spanDedup]]. */
+  final val SpanK = 8
+
+  /** Repeated-span exact dedup (the "deduplicating training data"
+    * substring pass): every [[SpanK]]-token gram keeps only its FIRST
+    * corpus-wide occurrence (document order, then position); every
+    * other occurrence marks its k token positions for removal, and
+    * documents are rewritten with marked tokens cut. Overlapping
+    * repeated grams merge into maximal removed spans via the position
+    * mask — the distributed approximation of the suffix-array pass,
+    * with one hash-keyed shuffle instead of a global sort.
+    *
+    * Shuffle inventory (10^12-doc shape): gram occurrences cross as
+    * bare (md5, ord) pairs; the first-wins set and the anti-join
+    * deciding "not the first" exchange ONLY longs (ords are globally
+    * unique, so ord ∉ keep-set ⟺ this occurrence is a removal);
+    * removal start positions return per doc as an int array. The final
+    * stitch joins that array back to the scan on doc_id — exchange-free
+    * on the text side under broadcast (test scale, plan-asserted) or a
+    * doc_id-bucketed corpus layout (production scale).
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = SpanK
+    val d = docs(spark, dir).select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+    // gram occurrences: (h, ord); docs shorter than k emit none
+    // (sequence(1, n-k+1) would count DOWN for n < k — guard it)
+    val occ = d.select(col("doc_id"),
+        explode(when(size(col("toks")) >= k,
+          sequence(lit(1), size(col("toks")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"),
+        col("toks"))
+      .select(md5(array_join(slice(col("toks"), col("pos"), lit(k)), " ")).as("h"),
+        (col("doc_id") * ParaOrdBase + col("pos")).as("ord"))
+    val keeps = occ.groupBy(col("h")).agg(min(col("ord")).as("keep_ord"))
+      .select(col("keep_ord"))
+    // occurrences that are NOT their gram's first — longs only
+    val removals = occ.select(col("ord"))
+      .join(keeps, col("ord") === col("keep_ord"), "left_anti")
+      .select((col("ord") / ParaOrdBase).cast("long").as("doc_id"),
+        (col("ord") % ParaOrdBase).cast("int").as("start"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+    // stitch: cut every token covered by a removed gram, row-locally
+    d.join(removals, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("starts"), s => s <= i + 1 && i + 1 < s + k)).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("digest"))
   }
 }

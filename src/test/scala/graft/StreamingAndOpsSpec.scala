@@ -481,12 +481,59 @@ class StreamingAndOpsSpec extends AnyFunSuite {
 
     // scale guard: paragraph/text columns never cross an exchange —
     // occurrences shuffle as (md5, ord), the kept set as int arrays
-    val forbidden = Set("text", "toks", "para", "paras")
+    assertNoTextShuffle(q)
+  }
+
+  private def assertNoTextShuffle(q: org.apache.spark.sql.DataFrame): Unit = {
+    val forbidden = Set("text", "toks", "para", "paras", "kept")
     q.queryExecution.sparkPlan.foreach {
       case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
         val bad = ex.child.output.map(_.name).filter(forbidden)
         assert(bad.isEmpty, s"text-bearing columns cross a shuffle: $bad")
       case _ =>
     }
+  }
+
+  test("spanDedup matches a brute-force first-wins gram reference; no text crosses a shuffle") {
+    import graft.ops.DedupOps
+    val dir = "/root/testdata/sf0.001"
+    val k = DedupOps.SpanK
+    val q = DedupOps.spanDedup(spark, dir)
+
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // in corpus order: first occurrence of each k-gram survives, every
+    // later occurrence marks its k token positions
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = src.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val marked = scala.collection.mutable.Set.empty[Int] // 1-based
+      for (pos <- 1 to toks.length - k + 1) {
+        val gram = toks.slice(pos - 1, pos - 1 + k).mkString(" ")
+        if (!seen.add(gram)) (pos until pos + k).foreach(marked += _)
+      }
+      val kept = toks.zipWithIndex.collect {
+        case (w, i) if !marked(i + 1) => w
+      }
+      id -> (toks.length.toLong, (toks.length - kept.length).toLong,
+        md5hex(kept.mkString(" ")))
+    }.toMap
+
+    val got = q.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+    // the corpus genuinely contains repeated 8-grams — the op must bite
+    assert(expected.values.map(_._2).sum > 0, "fixture has no repeated spans")
+    // and most docs are untouched (removal is surgical, not wholesale)
+    assert(expected.values.count(_._2 == 0) > expected.size / 2)
+
+    assertNoTextShuffle(q)
   }
 }
