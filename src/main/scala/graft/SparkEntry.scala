@@ -90,6 +90,7 @@ object SparkEntry {
     "q_quality" -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
     "q_token_count" -> ((s, d) => TextAnalysisOps.tokenCount(s, d)),
     "q_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
+    "q_unigram_xent" -> ((s, d) => TextAnalysisOps.unigramXent(s, d)),
   )
 
   /** Frozen golden oracle (inline VALUES SQL, tools/freeze_golden.py) —
@@ -385,6 +386,20 @@ object SparkEntry {
     "q_dedup_cc" -> dedupCcOracle,
     "q_para_dedup" -> paraDedupOracle,
     "q_span_dedup" -> spanDedupOracle,
+
+    "q_unigram_xent" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         counts AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+         tot AS (SELECT sum(cw) AS tt FROM counts),
+         perdoc AS (SELECT doc_id, w, count(*) AS cwd FROM tok GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(sum(cwd) AS BIGINT) AS n_tokens,
+                round(CAST(-sum(CAST(cwd AS DECIMAL(10,0))
+                      * CAST(round(ln(cw / tt), 9) AS DECIMAL(18,9))) AS DOUBLE)
+                  / sum(cwd), 6) AS xent
+         FROM perdoc JOIN counts USING (w), tot
+         GROUP BY doc_id""",
 
     "q_pii_redact" ->
       """WITH injected AS (

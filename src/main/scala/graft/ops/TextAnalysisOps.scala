@@ -120,4 +120,38 @@ object TextAnalysisOps {
     val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     d.select(col("doc_id"), md5(norm).as("fingerprint"))
   }
+
+  /** Unigram cross-entropy quality score (the KenLM-shaped perplexity
+    * filter of CCNet/RefinedWeb, with the corpus itself as the LM):
+    * pass 1 aggregates corpus unigram counts, pass 2 scores each
+    * document as H(doc) = -(1/n) Σ ln p(w), p(w) = count(w)/total.
+    * Low H ⇒ stereotyped/boilerplate text, high H ⇒ rare-token noise —
+    * both tails are what perplexity filters cut.
+    *
+    * Scale shape: the vocabulary aggregation is one map-side-combinable
+    * shuffle; the (doc, word) counts join the vocabulary on the word
+    * key (a real LM's vocab is bounded, so the count side broadcasts);
+    * the scalar total rides a broadcast cross join. Determinism: each
+    * term rounds ln p to 9 dp and accumulates in DECIMAL, so shuffle
+    * row order cannot move the rounded score (double addition is not
+    * associative; decimal addition is).
+    */
+  def unigramXent(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val total = counts.agg(sum(col("cw")).as("tt"))
+    val perDoc = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cwd"))
+    perDoc.join(counts, "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("cwd"),
+        (col("cwd").cast("decimal(10,0)") *
+          round(log(col("cw") / col("tt")), 9).cast("decimal(18,9)")).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cwd")).as("n_tokens"),
+        round((-sum(col("term"))).cast("double") / sum(col("cwd")), 6).as("xent"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("xent"))
+  }
 }

@@ -536,4 +536,34 @@ class StreamingAndOpsSpec extends AnyFunSuite {
 
     assertNoTextShuffle(q)
   }
+
+  test("unigramXent matches a decimal-exact reference; order-independent by construction") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.ops.TextAnalysisOps.unigramXent(spark, dir)
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    src.foreach(_._2.split(" ", -1).foreach(w =>
+      counts(w) = counts.getOrElse(w, 0L) + 1))
+    val tt = counts.values.sum.toDouble
+    val expected = src.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      // per-term 9-dp round, exact decimal sum — the op's determinism
+      // contract, reproduced independently
+      val s = toks.groupBy(identity).map { case (w, ws) =>
+        BigDecimal(ws.length) *
+          BigDecimal(math.log(counts(w) / tt)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val xent = BigDecimal((-s).toDouble / toks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> (toks.length.toLong, xent)
+    }.toMap
+    val got = q.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+    // scores sit in a sane entropy band for a ~40-word vocabulary
+    assert(got.values.forall { case (_, x) => x > 1.0 && x < 8.0 })
+  }
 }
