@@ -77,6 +77,7 @@ object SparkEntry {
     "q_srp_recall" -> ((s, d) => SimilarityOps.srpRecall(s, d)),
     // ---- corpus hygiene (training-data pipeline) ----
     "q_pii_redact" -> ((s, d) => CorpusOps.piiRedact(s, d)),
+    "q_url_norm" -> ((s, d) => CorpusOps.urlNormalize(s, d)),
     "q_domain_cap" -> ((s, d) => CorpusOps.domainCap(s, d)),
     "q_decontaminate" -> ((s, d) => CorpusOps.decontaminate(s, d)),
     "q_repetition" -> ((s, d) => CorpusOps.repetitionStats(s, d)),
@@ -387,6 +388,8 @@ object SparkEntry {
     "q_para_dedup" -> paraDedupOracle,
     "q_span_dedup" -> spanDedupOracle,
 
+    "q_url_norm" -> urlNormOracle,
+
     "q_unigram_xent" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -562,6 +565,63 @@ object SparkEntry {
               md5(coalesce(string_agg(kept.w, ' ' ORDER BY kept.tpos), '')) AS digest
        FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
        GROUP BY d.doc_id, d.t"""
+
+  /** Mirrors [[graft.ops.CorpusOps.urlNormalize]]: identical messy-url
+    * injection, then the same regex/list normalization pipeline.
+    */
+  private val urlNormOracle: String =
+    """WITH m AS (
+         SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://'
+           || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example'
+                    ELSE 'cdn.Site' || CAST(doc_id % 5 AS VARCHAR) END)
+           || (CASE WHEN doc_id % 4 = 0 THEN '.CO.UK' ELSE '.COM' END)
+           || (CASE WHEN doc_id % 7 = 3 THEN ':8080'
+                    WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+           || '/Articles/item' || CAST(doc_id AS VARCHAR)
+           || (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END)
+           || '?utm_source=feed'
+           || (CASE WHEN doc_id % 2 = 0 THEN '&ref=Home&a=1'
+                    ELSE '&b=' || CAST(doc_id % 9 AS VARCHAR) || '&A=2' END)
+           || '&fbclid=x' || CAST(doc_id AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 1
+                    THEN '#Sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)
+           AS raw_url
+         FROM documents),
+       parts AS (
+         SELECT doc_id, raw_url,
+           lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+           regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+         FROM m),
+       norm AS (
+         SELECT doc_id, raw_url, scheme,
+           lower(regexp_replace(auth, ':[0-9]+$', '')) AS host,
+           regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+           CASE WHEN regexp_replace(regexp_extract(rest, '^([^?#]*)', 1), '/$', '') = ''
+                THEN '/'
+                ELSE regexp_replace(regexp_extract(rest, '^([^?#]*)', 1), '/$', '') END AS path_n,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(rest, '\?([^#]*)', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid=|gclid=)'))), '&') AS q_n
+         FROM parts),
+       lab AS (
+         SELECT doc_id, raw_url, scheme, host, port, path_n, q_n,
+                string_split(host, '.') AS labels
+         FROM norm)
+       SELECT doc_id, raw_url,
+         scheme || '://' || host
+           || (CASE WHEN port = '' THEN ''
+                    WHEN scheme = 'http' AND port = '80' THEN ''
+                    WHEN scheme = 'https' AND port = '443' THEN ''
+                    ELSE ':' || port END)
+           || path_n
+           || (CASE WHEN q_n = '' THEN '' ELSE '?' || q_n END) AS canon_url,
+         CASE WHEN len(labels) >= 3
+                   AND labels[-2] IN ('co', 'com', 'org', 'net', 'gov', 'ac')
+              THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+              ELSE labels[-2] || '.' || labels[-1] END AS registered_domain
+       FROM lab"""
 
   private val qualityOracle: String =
     """SELECT doc_id,

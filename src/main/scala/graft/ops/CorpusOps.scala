@@ -49,6 +49,71 @@ object CorpusOps {
         PhoneRe, "<PHONE>")).as("redacted_digest"))
   }
 
+  /** URL canonicalization — the normalize-before-dedup pass every crawl
+    * pipeline runs so the same page under cosmetic URL variants (case,
+    * default ports, fragments, tracking params, param order, trailing
+    * slash) collapses to one key. The corpus has no URL column, so a
+    * deterministic MESSY url is injected per doc_id exercising every
+    * rule — the injection IS the fixture, as with [[piiRedact]].
+    * Row-local projection: pure regex/array column expressions, no
+    * shuffle — a map-only pass at 10^12 docs.
+    *
+    * Rules: lowercase scheme+host; strip :80/http and :443/https; drop
+    * the fragment; drop utm_* / fbclid / gclid params; byte-sort the
+    * surviving params; trim one trailing slash (never below "/").
+    * Registered domain: last two host labels, or three when the
+    * second-level label is a public-suffix-style prefix (co, com, org,
+    * net, gov, ac) — the co.uk / com.br class.
+    */
+  def urlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val messy = concat(
+      when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+      when(id % 3 === 0, lit("WWW.Example"))
+        .otherwise(concat(lit("cdn.Site"), (id % 5).cast("string"))),
+      when(id % 4 === 0, lit(".CO.UK")).otherwise(lit(".COM")),
+      when(id % 7 === 3, lit(":8080"))
+        .when(id % 2 === 0, lit(":80")).otherwise(lit(":443")),
+      lit("/Articles/item"), id.cast("string"),
+      when(id % 3 === 1, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed"),
+      when(id % 2 === 0, lit("&ref=Home&a=1"))
+        .otherwise(concat(lit("&b="), (id % 9).cast("string"), lit("&A=2"))),
+      lit("&fbclid=x"), id.cast("string"),
+      when(id % 2 === 1, concat(lit("#Sec"), (id % 4).cast("string")))
+        .otherwise(lit("")))
+
+    val raw = col("raw_url")
+    val scheme = lower(regexp_extract(raw, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(raw, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_replace(auth, ":[0-9]+$", ""))
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val rest = regexp_extract(raw, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val path = regexp_extract(rest, "^([^?#]*)", 1)
+    val pathN = when(regexp_replace(path, "/$", "") === "", lit("/"))
+      .otherwise(regexp_replace(path, "/$", ""))
+    val query = regexp_extract(rest, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_|fbclid=|gclid=)"))
+    val qN = array_join(array_sort(params), "&")
+    val portN = when(port === "", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val canon = concat(scheme, lit("://"), host, portN, pathN,
+      when(qN === "", lit("")).otherwise(concat(lit("?"), qN)))
+    val labels = split(host, "\\.")
+    val rd = when(size(labels) >= 3 &&
+        element_at(labels, -2).isin("co", "com", "org", "net", "gov", "ac"),
+        concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+          element_at(labels, -1)))
+      .otherwise(concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+
+    docs(spark, dir).select(col("doc_id"), messy.as("raw_url"))
+      .select(col("doc_id"), raw,
+        canon.as("canon_url"), rd.as("registered_domain"))
+  }
+
   /** Per-domain document cap — crawl pipelines bound any single
     * domain's contribution. Keep the `cap` largest docs per source
     * (n_chars desc, doc_id tiebreak). The rank-filter shape lets

@@ -566,4 +566,24 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     // scores sit in a sane entropy band for a ~40-word vocabulary
     assert(got.values.forall { case (_, x) => x > 1.0 && x < 8.0 })
   }
+
+  test("urlNormalize: every rule pinned on representative ids; map-only plan") {
+    val q = graft.ops.CorpusOps.urlNormalize(spark, "/root/testdata/sf0.001")
+    val got = q.collect().map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    // id 0: case-fold, :80 strip, tracking-param drop, param byte-sort, co.uk suffix
+    assert(got(0L) == ("http://www.example.co.uk/Articles/item0?a=1&ref=Home",
+      "example.co.uk"))
+    // id 1: :443 strip, trailing-slash trim, fragment drop, 'A' sorts before 'b'
+    assert(got(1L) == ("https://cdn.site1.com/Articles/item1?A=2&b=1", "site1.com"))
+    // id 3: non-default port KEPT (3 % 7 == 3); host is the %3==0 variant
+    assert(got(3L) == ("https://www.example.com:8080/Articles/item3?A=2&b=3",
+      "example.com"))
+    // id 4: three-label registered domain under a public-suffix prefix
+    assert(got(4L) == ("http://cdn.site4.co.uk/Articles/item4?a=1&ref=Home",
+      "site4.co.uk"))
+    // canonicalization is a pure projection: zero exchanges
+    assert(!q.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "urlNormalize must stay map-only")
+  }
 }
