@@ -92,6 +92,7 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextAnalysisOps.tokenCount(s, d)),
     "q_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
     "q_unigram_xent" -> ((s, d) => TextAnalysisOps.unigramXent(s, d)),
+    "q_bm25" -> ((s, d) => TextAnalysisOps.bm25TopK(s, d)),
   )
 
   /** Frozen golden oracle (inline VALUES SQL, tools/freeze_golden.py) —
@@ -389,6 +390,34 @@ object SparkEntry {
     "q_span_dedup" -> spanDedupOracle,
 
     "q_url_norm" -> urlNormOracle,
+
+    "q_bm25" ->
+      """WITH qt(query_id, term) AS (VALUES
+           (0,'table'),(0,'scan'),(1,'hash'),(1,'join'),(1,'fast'),
+           (2,'window'),(2,'agg'),(3,'vector'),(3,'merge'),
+           (4,'customer'),(4,'order'),(4,'query')),
+         d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         lens AS (SELECT doc_id, len(t) AS dl FROM d),
+         stats AS (SELECT count(*) AS n_docs,
+                          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         tok AS (SELECT doc_id, unnest(t) AS w FROM d),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+                WHERE w IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+         dft AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         ts AS (SELECT qt.query_id, tf.doc_id,
+                  CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                    * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                    9) AS DECIMAL(18,9)) AS term_score
+                FROM tf JOIN dft USING (w) JOIN lens USING (doc_id), stats
+                     JOIN qt ON qt.term = tf.w),
+         sc AS (SELECT query_id, doc_id,
+                       round(CAST(sum(term_score) AS DOUBLE), 6) AS score
+                FROM ts GROUP BY 1, 2)
+         SELECT query_id, doc_id, CAST(rn AS INT) AS rank, score FROM (
+           SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rn
+           FROM sc) WHERE rn <= 10""",
 
     "q_unigram_xent" ->
       """WITH tok AS (

@@ -154,4 +154,61 @@ object TextAnalysisOps {
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         col("xent"))
   }
+
+  /** The fixed benchmark query set for [[bm25TopK]] — literal on both
+    * the Spark and oracle sides.
+    */
+  final val Bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "table", 0 -> "scan",
+    1 -> "hash", 1 -> "join", 1 -> "fast",
+    2 -> "window", 2 -> "agg",
+    3 -> "vector", 3 -> "merge",
+    4 -> "customer", 4 -> "order", 4 -> "query")
+
+  /** BM25 ranked retrieval (Robertson k1=1.2, b=0.75, the +1 idf
+    * variant): top-10 documents per query over whitespace tokens.
+    *
+    * Scale shape: the query-term table broadcasts and SEMI-filters the
+    * exploded token stream before any aggregation, so tf/df work is
+    * proportional to matching postings, not the corpus; document
+    * lengths ride the same scan; N and avgdl are broadcast scalars; the
+    * per-query top-k is a rank-filter window (WindowGroupLimit pushes
+    * the limit below the sort). Per-term scores round to 9 dp and
+    * accumulate in DECIMAL so shuffle order cannot move the rounded
+    * total.
+    */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val k1 = 1.2
+    val b = 0.75
+    val queries = broadcast(Bm25Queries.toDF("query_id", "term"))
+    val d = docs(spark, dir).select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+    val lens = d.select(col("doc_id"), size(col("toks")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // postings restricted to query terms before any shuffle
+    val toks = d.select(col("doc_id"), explode(col("toks")).as("w"))
+      .join(broadcast(Bm25Queries.map(_._2).distinct.toDF("w")), "w")
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(df, "w")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(queries, col("w") === col("term"))
+      .select(col("query_id"), col("doc_id"),
+        round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))),
+          9).cast("decimal(18,9)").as("term_score"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("term_score")).cast("double"), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
 }

@@ -586,4 +586,53 @@ class StreamingAndOpsSpec extends AnyFunSuite {
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
       "urlNormalize must stay map-only")
   }
+
+  test("bm25TopK matches a brute-force reference; query filter broadcasts, top-k is a group limit") {
+    import graft.ops.TextAnalysisOps
+    val dir = "/root/testdata/sf0.001"
+    val q = TextAnalysisOps.bm25TopK(spark, dir)
+
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val nDocs = src.length.toLong
+    val avgdl = src.map(_._2.length.toLong).sum.toDouble / nDocs
+    val terms = TextAnalysisOps.Bm25Queries.map(_._2).toSet
+    val tf = src.flatMap { case (id, toks) =>
+      toks.filter(terms).groupBy(identity).map { case (w, ws) => ((id, w), ws.length.toLong) }
+    }.toMap
+    val dfc = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val expected = TextAnalysisOps.Bm25Queries.groupBy(_._1).toSeq.flatMap { case (qid, qts) =>
+      val scores = src.flatMap { case (id, toks) =>
+        val ts = qts.map(_._2).flatMap { w =>
+          tf.get((id, w)).map { f =>
+            val idf = math.log((nDocs - dfc(w) + 0.5) / (dfc(w) + 0.5) + 1.0)
+            val sat = (f * (1.2 + 1)) / (f + 1.2 * (1 - 0.75 + 0.75 * toks.length / avgdl))
+            BigDecimal(idf * sat).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          }
+        }
+        if (ts.isEmpty) None
+        else Some((id, BigDecimal(ts.sum.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      scores.sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex.map {
+        case ((id, s), i) => (qid, id) -> (i + 1, s)
+      }
+    }.toMap
+    val got = q.collect().map(r =>
+      (r.getInt(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, e) => assert(got(k) == e, s"$k") }
+    assert(got.size == 50)
+
+    // scale guards: token filter against the query terms is a broadcast
+    // join (postings work ∝ matches, not corpus), and the per-query
+    // top-k pushes the limit below the sort
+    val p = q.queryExecution.sparkPlan
+    assert(p.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "query-term filter must broadcast")
+    assert(p.toString.contains("WindowGroupLimit"),
+      "per-query top-k must be a pushed group limit")
+  }
 }
