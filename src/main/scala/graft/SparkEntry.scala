@@ -558,9 +558,10 @@ object SparkEntry {
            ON md5(occ.para) = firsts.h AND occ.ord = firsts.keep_ord)
        SELECT p.doc_id,
               CAST(len(p.paras) AS BIGINT) AS n_paras,
-              CAST(count(*) AS BIGINT) AS n_kept,
-              md5(string_agg(kept.para, chr(10) ORDER BY kept.idx)) AS digest
-       FROM p JOIN kept ON p.doc_id = kept.doc_id
+              CAST(count(kept.idx) AS BIGINT) AS n_kept,
+              md5(coalesce(string_agg(kept.para, chr(10) ORDER BY kept.idx), ''))
+                AS digest
+       FROM p LEFT JOIN kept ON p.doc_id = kept.doc_id
        GROUP BY p.doc_id, p.paras"""
 
   /** Mirrors [[graft.ops.DedupOps.spanDedup]]: 8-gram occurrences,

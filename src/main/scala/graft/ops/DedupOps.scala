@@ -445,6 +445,16 @@ object DedupOps {
   private val ParaFooter = "subscribe to the newsletter for updates"
   private val ParaHeader = "cookie policy applies to this site"
 
+  /** Fail LOUDLY if a position would overflow the ordinal base and
+    * silently alias into the next doc_id's ord space (a multi-MB
+    * crawl document can reach 10^6 tokens) — corrupted first-wins
+    * attribution must never be quiet.
+    */
+  private def checkedPos(pos: Column): Column =
+    when(pos < ParaOrdBase, pos)
+      .otherwise(raise_error(lit(
+        s"position exceeds ord base $ParaOrdBase — widen ParaOrdBase")).cast("int"))
+
   /** Paragraph-level corpus dedup (CCNet-style boilerplate removal):
     * documents are segmented into paragraphs, every paragraph keeps
     * only its FIRST corpus-wide occurrence (document order, then
@@ -484,14 +494,17 @@ object DedupOps {
     val occ = paras.select(col("doc_id"),
         posexplode(col("paras")).as(Seq("idx0", "para")))
       .select(md5(col("para")).as("h"),
-        (col("doc_id") * ParaOrdBase + col("idx0") + 1).as("ord"))
+        (col("doc_id") * ParaOrdBase + checkedPos(col("idx0") + 1)).as("ord"))
     // ords are globally unique, so "this occurrence is its group's
     // first" ⟺ "its ord is in the keep_ord set" — the kept set needs
-    // only a long-keyed join, no hash strings in the second shuffle
+    // only a long-keyed join, no hash strings in the second shuffle.
+    // Decode with integer `div`: `/` is double division in Spark SQL
+    // and loses exactness past 2^53, i.e. doc_id ≳ 9e9 — inside the
+    // 10^12-doc contract.
     val firsts = occ.groupBy(col("h")).agg(min(col("ord")).as("keep_ord"))
       .select(col("keep_ord"))
     val kept = firsts
-      .select((col("keep_ord") / ParaOrdBase).cast("long").as("doc_id"),
+      .select(expr(s"keep_ord div $ParaOrdBase").as("doc_id"),
         (col("keep_ord") % ParaOrdBase).cast("int").as("idx"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
@@ -500,8 +513,12 @@ object DedupOps {
     // this join needs no exchange when the kept side broadcasts (test
     // scale, plan-asserted) or the corpus table is bucketed by doc_id
     // (the 10^12-doc layout — TableIO's bucketed tables); either way
-    // nothing text-bearing shuffles.
-    paras.join(kept, Seq("doc_id"))
+    // nothing text-bearing shuffles. LEFT join: a document whose every
+    // paragraph is a corpus-wide duplicate still emits, with n_kept=0
+    // and the empty-string digest — silent row loss is not dedup.
+    paras.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("paras"),
+        coalesce(col("kept_idx"), array().cast("array<int>")).as("kept_idx"))
       .select(col("doc_id"),
         size(col("paras")).cast("long").as("n_paras"),
         size(col("kept_idx")).cast("long").as("n_kept"),
@@ -543,13 +560,14 @@ object DedupOps {
           .otherwise(array().cast("array<int>"))).as("pos"),
         col("toks"))
       .select(md5(array_join(slice(col("toks"), col("pos"), lit(k)), " ")).as("h"),
-        (col("doc_id") * ParaOrdBase + col("pos")).as("ord"))
+        (col("doc_id") * ParaOrdBase + checkedPos(col("pos"))).as("ord"))
     val keeps = occ.groupBy(col("h")).agg(min(col("ord")).as("keep_ord"))
       .select(col("keep_ord"))
     // occurrences that are NOT their gram's first — longs only
+    // integer `div`, not `/`: double division loses exactness past 2^53
     val removals = occ.select(col("ord"))
       .join(keeps, col("ord") === col("keep_ord"), "left_anti")
-      .select((col("ord") / ParaOrdBase).cast("long").as("doc_id"),
+      .select(expr(s"ord div $ParaOrdBase").as("doc_id"),
         (col("ord") % ParaOrdBase).cast("int").as("start"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("start"))).as("starts"))

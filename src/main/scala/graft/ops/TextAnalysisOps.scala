@@ -137,12 +137,14 @@ object TextAnalysisOps {
     * associative; decimal addition is).
     */
   def unigramXent(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
+    // ONE corpus scan: vocabulary counts roll up from the per-doc
+    // aggregation instead of re-exploding the token stream
+    val perDoc = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val total = counts.agg(sum(col("cw")).as("tt"))
-    val perDoc = toks.groupBy(col("doc_id"), col("w"))
+      .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("cwd"))
+    val counts = perDoc.groupBy(col("w")).agg(sum(col("cwd")).as("cw"))
+    val total = counts.agg(sum(col("cw")).as("tt"))
     perDoc.join(counts, "w")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("cwd"),

@@ -448,14 +448,7 @@ class StreamingAndOpsSpec extends AnyFunSuite {
 
     // brute-force reference over the collected corpus: chunk, inject,
     // first-wins by (doc_id, idx), reassemble
-    val src = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def md5hex(s: String): String = {
-      md.reset()
-      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
+    val src = loadDocs(dir)
     val parasOf = src.map { case (id, text) =>
       val toks = text.split(" ", -1)
       val chunks = toks.grouped(DedupOps.ParaTokens).map(_.mkString(" ")).toVector
@@ -484,6 +477,16 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     assertNoTextShuffle(q)
   }
 
+  private def md5hex(str: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def loadDocs(dir: String): Array[(Long, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+
   private def assertNoTextShuffle(q: org.apache.spark.sql.DataFrame): Unit = {
     val forbidden = Set("text", "toks", "para", "paras", "kept")
     q.queryExecution.sparkPlan.foreach {
@@ -500,14 +503,7 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     val k = DedupOps.SpanK
     val q = DedupOps.spanDedup(spark, dir)
 
-    val src = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def md5hex(s: String): String = {
-      md.reset()
-      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
+    val src = loadDocs(dir)
     // in corpus order: first occurrence of each k-gram survives, every
     // later occurrence marks its k token positions
     val seen = scala.collection.mutable.Set.empty[String]
@@ -540,9 +536,7 @@ class StreamingAndOpsSpec extends AnyFunSuite {
   test("unigramXent matches a decimal-exact reference; order-independent by construction") {
     val dir = "/root/testdata/sf0.001"
     val q = graft.ops.TextAnalysisOps.unigramXent(spark, dir)
-    val src = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+    val src = loadDocs(dir)
     val counts = scala.collection.mutable.Map.empty[String, Long]
     src.foreach(_._2.split(" ", -1).foreach(w =>
       counts(w) = counts.getOrElse(w, 0L) + 1))
@@ -592,9 +586,8 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val q = TextAnalysisOps.bm25TopK(spark, dir)
 
-    val src = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val src = loadDocs(dir)
+      .map { case (id, text) => (id, text.split(" ", -1).toSeq) }
     val nDocs = src.length.toLong
     val avgdl = src.map(_._2.length.toLong).sum.toDouble / nDocs
     val terms = TextAnalysisOps.Bm25Queries.map(_._2).toSet
