@@ -78,6 +78,7 @@ object SparkEntry {
     // ---- corpus hygiene (training-data pipeline) ----
     "q_pii_redact" -> ((s, d) => CorpusOps.piiRedact(s, d)),
     "q_url_norm" -> ((s, d) => CorpusOps.urlNormalize(s, d)),
+    "q_blocklist" -> ((s, d) => CorpusOps.blocklistFilter(s, d)),
     "q_domain_cap" -> ((s, d) => CorpusOps.domainCap(s, d)),
     "q_decontaminate" -> ((s, d) => CorpusOps.decontaminate(s, d)),
     "q_repetition" -> ((s, d) => CorpusOps.repetitionStats(s, d)),
@@ -390,6 +391,23 @@ object SparkEntry {
     "q_span_dedup" -> spanDedupOracle,
 
     "q_url_norm" -> urlNormOracle,
+
+    "q_blocklist" ->
+      """WITH p AS (
+           SELECT doc_id, ' ' || lower(text) || ' ' AS pd,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         h AS (
+           SELECT doc_id, n_tokens,
+             CAST((length(pd) - length(replace(pd, ' slow ', ''))) / 6 AS BIGINT)
+             + CAST((length(pd) - length(replace(pd, ' junk ', ''))) / 6 AS BIGINT)
+             + CAST((length(pd) - length(replace(pd, ' spam ', ''))) / 6 AS BIGINT)
+             AS n_hits
+           FROM p)
+         SELECT doc_id, n_hits, n_tokens,
+                n_hits > 0 AS c4_blocked,
+                CAST(n_hits AS DOUBLE) / n_tokens > 0.05 AS ratio_blocked
+         FROM h""",
 
     "q_bm25" ->
       """WITH qt(query_id, term) AS (VALUES

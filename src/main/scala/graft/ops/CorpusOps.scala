@@ -114,6 +114,31 @@ object CorpusOps {
         canon.as("canon_url"), rd.as("registered_domain"))
   }
 
+  /** Blocklist words for [[blocklistFilter]] — literal on both sides. */
+  final val Blocklist: Seq[String] = Seq("slow", "junk", "spam")
+
+  /** C4-style blocklist filter: count whole-word blocklist hits per
+    * document and flag documents whose hit count or hit ratio crosses
+    * the policy threshold (C4 dropped any page with a single "bad
+    * word"; production pipelines usually rate-limit instead — both
+    * verdicts emitted). Whole-word matching via the padded
+    * length-difference trick shared with the language-ID scorer: pure
+    * column expressions, map-only, zero shuffles at any corpus size.
+    */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    def hits(w: String): Column =
+      ((length(padded) - length(regexp_replace(padded,
+        java.util.regex.Pattern.quote(s" $w "), ""))) / (w.length + 2)).cast("long")
+    val nHits = Blocklist.map(hits).reduce(_ + _)
+    val nTokens = size(split(col("text"), " ")).cast("long")
+    docs(spark, dir).select(col("doc_id"),
+      nHits.as("n_hits"),
+      nTokens.as("n_tokens"),
+      (nHits > 0).as("c4_blocked"),
+      (nHits.cast("double") / nTokens > 0.05).as("ratio_blocked"))
+  }
+
   /** Per-domain document cap — crawl pipelines bound any single
     * domain's contribution. Keep the `cap` largest docs per source
     * (n_chars desc, doc_id tiebreak). The rank-filter shape lets

@@ -581,6 +581,31 @@ class StreamingAndOpsSpec extends AnyFunSuite {
       "urlNormalize must stay map-only")
   }
 
+  test("blocklistFilter: whole-word hits, both verdicts, map-only plan") {
+    val q = graft.ops.CorpusOps.blocklistFilter(spark, "/root/testdata/sf0.001")
+    val rows = q.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+    val docs = loadDocs("/root/testdata/sf0.001").toMap
+    rows.foreach { case (id, hits, nTok, c4, ratio) =>
+      val toks = docs(id).toLowerCase.split(" ", -1)
+      // reference count: whole-token equality (the padded trick cannot
+      // overcount; adjacent duplicates undercount identically on both
+      // engines, so compare against the same non-overlapping rule)
+      val pad = " " + docs(id).toLowerCase + " "
+      val expected = graft.ops.CorpusOps.Blocklist.map { w =>
+        (pad.length - pad.replace(s" $w ", "").length) / (w.length + 2)
+      }.sum
+      assert(hits == expected, s"doc $id")
+      assert(nTok == toks.length)
+      assert(c4 == (hits > 0))
+      assert(ratio == (hits.toDouble / nTok > 0.05))
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4), "fixture must split verdicts")
+    assert(!q.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "blocklistFilter must stay map-only")
+  }
+
   test("bm25TopK matches a brute-force reference; query filter broadcasts, top-k is a group limit") {
     import graft.ops.TextAnalysisOps
     val dir = "/root/testdata/sf0.001"
