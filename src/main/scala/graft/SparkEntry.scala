@@ -73,6 +73,7 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => SimilarityOps.lshBucketedNeighbors(s, d)),
     "q_ann_ivf" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    "q_kmeans" -> ((s, d) => SimilarityOps.kmeansAssign(s, d)),
     "q_ann_recall" -> ((s, d) => SimilarityOps.annRecall(s, d)),
     "q_srp_recall" -> ((s, d) => SimilarityOps.srpRecall(s, d)),
     // ---- corpus hygiene (training-data pipeline) ----
@@ -83,6 +84,7 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => CorpusOps.decontaminate(s, d)),
     "q_repetition" -> ((s, d) => CorpusOps.repetitionStats(s, d)),
     "q_sample_strat" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
+    "q_weighted_sample" -> ((s, d) => CorpusOps.weightedSample(s, d)),
     "q_filter_pipeline" -> ((s, d) => CorpusOps.filterPipeline(s, d)),
     "q_pack" -> ((s, d) => CorpusOps.packSequences(s, d)),
     "q_corpus_e2e" -> ((s, d) => CorpusOps.corpusEndToEndAuto(s, d)),
@@ -94,6 +96,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextAnalysisOps.fingerprint(s, d)),
     "q_unigram_xent" -> ((s, d) => TextAnalysisOps.unigramXent(s, d)),
     "q_bm25" -> ((s, d) => TextAnalysisOps.bm25TopK(s, d)),
+    "q_dsir" -> ((s, d) => TextAnalysisOps.dsirScore(s, d)),
   )
 
   /** Frozen golden oracle (inline VALUES SQL, tools/freeze_golden.py) —
@@ -383,6 +386,7 @@ object SparkEntry {
     "q_cosine_topk" -> cosineTopkOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> ivfOracle,
+    "q_kmeans" -> kmeansOracle,
     "q_ann_recall" -> annRecallOracle,
     "q_srp_recall" -> srpRecallOracle,
     "q_embed_neardup" -> embedNearDupOracle,
@@ -484,6 +488,41 @@ object SparkEntry {
                          WHEN 'pt' THEN 'e6666666'
                          WHEN 'es' THEN '33333333'
                          ELSE 'ffffffff' END""",
+
+    "q_weighted_sample" ->
+      """WITH ws AS (
+           SELECT doc_id, CAST(1 + least(7, floor(n_chars / 200)) AS INT) AS w
+           FROM documents),
+         keys AS (
+           SELECT doc_id, w,
+                  max(md5('wsamp:' || CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(j AS VARCHAR))) AS skey
+           FROM ws CROSS JOIN generate_series(1, 8) AS t(j)
+           WHERE j <= w GROUP BY 1, 2)
+         SELECT doc_id, w, skey FROM keys
+         ORDER BY skey DESC, doc_id LIMIT 100""",
+
+    "q_dsir" ->
+      """WITH tok AS (
+           SELECT doc_id, lang, substr(md5('dsir:' || w), 1, 2) AS b
+           FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents)),
+         pd AS (SELECT doc_id, lang, b, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+         raw AS (SELECT b, sum(c) AS cr FROM pd GROUP BY 1),
+         tgt AS (SELECT b, sum(c) AS ct FROM pd WHERE lang = 'en' GROUP BY 1),
+         tot AS (SELECT (SELECT sum(cr) FROM raw) AS tr,
+                        (SELECT coalesce(sum(ct), 0) FROM tgt) AS tt),
+         wt AS (SELECT raw.b,
+                       CAST(round(ln((coalesce(ct, 0) + 1.0) / (tt + 256))
+                                - ln((cr + 1.0) / (tr + 256)), 9)
+                            AS DECIMAL(18,9)) AS wgt
+                FROM raw LEFT JOIN tgt USING (b), tot)
+         SELECT pd.doc_id,
+                CAST(sum(c) AS BIGINT) AS n_tokens,
+                round(CAST(sum(CAST(c AS DECIMAL(10,0)) * wgt) AS DOUBLE)
+                  / sum(c), 6) AS dsir_score
+         FROM pd JOIN wt ON pd.b = wt.b
+         GROUP BY 1""",
 
     "q_pack" ->
       """WITH t AS (
@@ -929,6 +968,46 @@ object SparkEntry {
               start_tok // 4096 AS pack_id,
               start_tok % 4096 AS pack_offset
        FROM cum"""
+
+  /** Two unrolled Lloyd rounds + the final assignment, replaying
+    * [[graft.ops.SimilarityOps.kmeansAssign]] exactly: 6-dp-rounded
+    * cosine with smallest-cent_id tiebreak for assignment, 7-dp-rounded
+    * member values accumulated in DECIMAL for the update mean (rounded
+    * to 6 dp) — every round is deterministic on both engines.
+    */
+  private val kmeansOracle: String = {
+    def cosOf(ev: String, en: String, cv: String): String =
+      s"round(${dotSql.format(ev, cv)} / ($en * sqrt(${dotSql.format(cv, cv)})), 6)"
+    def assignCte(cents: String, out: String): String =
+      s"""$out AS (
+         SELECT vec_id, embedding, cent_id, ccos FROM (
+           SELECT e.vec_id, e.embedding, c.cent_id,
+                  ${cosOf("e.embedding", "e.nrm", "c.cvec")} AS ccos,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    ${cosOf("e.embedding", "e.nrm", "c.cvec")} DESC, c.cent_id) AS rn
+           FROM en e CROSS JOIN $cents c) WHERE rn = 1)"""
+    def updateCte(assigned: String, out: String): String =
+      s"""$out AS (
+         SELECT cent_id, list(m ORDER BY p) AS cvec FROM (
+           SELECT cent_id, p,
+                  round(CAST(sum(CAST(round(CAST(embedding[p] AS DOUBLE), 7)
+                    AS DECIMAL(18,10))) AS DOUBLE) / count(*), 6) AS m
+           FROM $assigned, generate_series(1, 64) AS g(p)
+           GROUP BY 1, 2) GROUP BY 1)"""
+    s"""WITH st AS (SELECT greatest(1, count(*) // 16) AS stride FROM embeddings),
+       en AS (SELECT vec_id, embedding,
+                     sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+              FROM embeddings),
+       c0 AS (SELECT vec_id AS cent_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+              FROM embeddings, st WHERE vec_id % st.stride = 0),
+       ${assignCte("c0", "a1")},
+       ${updateCte("a1", "c1")},
+       ${assignCte("c1", "a2")},
+       ${updateCte("a2", "c2")},
+       ${assignCte("c2", "af")}
+       SELECT vec_id, cent_id, ccos FROM af"""
+  }
 
   private val ivfOracle: String = {
     val cosEC = s"round(${dotSql.format("e.embedding", "c.cvec")} / (sqrt(${dotSql.format("e.embedding", "e.embedding")}) * sqrt(${dotSql.format("c.cvec", "c.cvec")})), 6)"

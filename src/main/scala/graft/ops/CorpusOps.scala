@@ -171,6 +171,48 @@ object CorpusOps {
     docs(spark, dir).filter(u < thr).select(col("doc_id"), col("lang"))
   }
 
+  /** Top-k size for [[weightedSample]] — literal on both the Spark and
+    * oracle sides.
+    */
+  final val WeightedSampleK = 100
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+    * the quality-weighted corpus-selection op): each document draws a
+    * sample key and the global top-[[WeightedSampleK]] keys win, which
+    * is exactly weighted sampling without replacement — the probability
+    * a document enters the sample is proportional to its weight at
+    * every step.
+    *
+    * The classic key is u^(1/w) with u uniform; for INTEGER weights
+    * that distribution equals max of w independent uniforms, so the key
+    * here is max over j in 1..w of md5("wsamp:doc_id:j") — equal-width
+    * hex strings whose lexicographic order IS numeric order. No floats,
+    * no pow/ln, so any md5-capable engine reproduces the sample
+    * bit-exactly (the same trick as [[stratifiedSample]]'s hex
+    * thresholds). Weights are length-derived quality buckets 1..8
+    * (1 + min(7, n_chars/200)) — the stand-in for a real quality score.
+    *
+    * Scale shape: the key is a map-only projection (w ≤ 8 md5 calls per
+    * row, no explode); the global top-k is orderBy+limit, which Spark
+    * plans as TakeOrderedAndProject — per-partition top-k heaps then a
+    * k·partitions driver merge, never a global sort. Ties cannot occur
+    * in practice (128-bit md5) but the deterministic tiebreak is
+    * doc_id.
+    */
+  def weightedSample(spark: SparkSession, dir: String,
+                     k: Int = WeightedSampleK): DataFrame = {
+    val w = (lit(1) + least(lit(7), floor(col("n_chars") / 200))).cast("int")
+    val skey = array_max(transform(
+      sequence(lit(1), col("w")),
+      j => md5(concat(lit("wsamp:"), col("doc_id").cast("string"),
+        lit(":"), j.cast("string")))))
+    docs(spark, dir)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"), skey.as("skey"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Sequence packing for pretraining — chunked-concat model: within
     * each doc_id-range bucket, documents concatenate in id order and the
     * token stream is cut into fixed-capacity packs; each doc gets its

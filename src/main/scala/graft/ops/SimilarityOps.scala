@@ -299,4 +299,77 @@ object SimilarityOps {
       .agg(round(sum(coalesce(col("hit"), lit(0L))) / count(lit(1)), 4)
         .as("recall_at_k"))
   }
+
+  /** Left-to-right double dot product as a compositional HOF — the
+    * k-means iteration needs dots against DERIVED centroids
+    * (array<double> built by the update step), which the float-typed
+    * native [[graft.functions.VecDot]] can't take. Elements cast to
+    * double BEFORE multiplying, matching the oracle's
+    * `CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)` fold exactly.
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Lloyd k-means over the embedding column — the codebook-training /
+    * topic-balancing primitive (SemDeDup-style cluster-then-dedup
+    * pipelines train exactly this): `iters` rounds of
+    * assign-to-nearest-centroid (cosine) + per-dimension mean update,
+    * then the final assignment. Init is the deterministic id-stride
+    * sample [[ivfTopK]] uses, so k stays FIXED as the corpus grows.
+    *
+    * Scale shape: each assignment is a broadcast cross join against k
+    * centroids reduced by a `max_by` partial aggregation (map-side
+    * combine — never a window over the n×k scored rows); each update
+    * shuffles (cent_id, dim) keyed partial sums — map-side combinable,
+    * k×64 result rows; centroids never exceed k×64 doubles, so the
+    * broadcast is bounded. Lloyd at 10^12 rows is exactly this per
+    * round; `iters` bounds the rounds.
+    *
+    * Determinism: assignment ties break to the smallest cent_id on a
+    * 6-dp-rounded cosine; the update mean accumulates 7-dp-rounded
+    * member values in DECIMAL (order-independent) and rounds the mean
+    * to 6 dp — so shuffle order can move nothing, and an md5-free
+    * engine (the DuckDB oracle) replays every round bit-exactly.
+    * Clusters that lose all members drop out of the next round on both
+    * sides (GROUP BY emits no row for them).
+    */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 16,
+                   iters: Int = 2): DataFrame = {
+    val e = emb(spark, dir)
+    val stride = math.max(1L, e.count() / k)
+    val withN = e.select(col("vec_id"), col("embedding"),
+      sqrt(dotD(col("embedding"), col("embedding"))).as("en"))
+
+    def assigned(cents: DataFrame): DataFrame = {
+      val cc = cents.select(col("cent_id"), col("cvec"),
+        sqrt(dotD(col("cvec"), col("cvec"))).as("cn"))
+      withN.crossJoin(broadcast(cc))
+        .withColumn("ccos",
+          round(dotD(col("embedding"), col("cvec")) / (col("en") * col("cn")), 6))
+        .groupBy(col("vec_id"))
+        .agg(
+          max(struct(col("ccos"), (-col("cent_id")).as("nc"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          (-col("best.nc")).cast("long").as("cent_id"), col("best.ccos").as("ccos"))
+    }
+
+    var cents: DataFrame = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    for (_ <- 1 to iters) {
+      cents = assigned(cents)
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .groupBy(col("cent_id"), col("p"))
+        .agg(round(
+          sum(round(col("v").cast("double"), 7).cast("decimal(18,10)")).cast("double")
+            / count(lit(1)), 6).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+    }
+    assigned(cents).select(col("vec_id"), col("cent_id"), col("ccos"))
+  }
 }

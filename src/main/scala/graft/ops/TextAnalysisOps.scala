@@ -157,6 +157,61 @@ object TextAnalysisOps {
         col("xent"))
   }
 
+  /** DSIR-style importance score (Data Selection via Importance
+    * Resampling, Xie et al. 2023): documents are scored by the
+    * log-likelihood RATIO of a target-distribution unigram LM over the
+    * raw-corpus unigram LM, computed on HASHED features — the
+    * domain-adaptation selector that upweights documents resembling a
+    * curated target set. The target here is the corpus' `lang = 'en'`
+    * stratum (a deterministic subset standing in for the curated
+    * target); features are tokens hashed into 256 buckets (the first 2
+    * hex chars of md5("dsir:" || token) — bucket ids stay strings, so
+    * any md5-capable engine agrees without hex→int conversion).
+    *
+    * score(d) = (1/n) Σ_b c_d(b) · [ln p̂_t(b) − ln p̂_r(b)], with
+    * add-one smoothing p̂(b) = (c(b)+1)/(T+256). Positive ⇒ looks more
+    * like the target than the raw corpus.
+    *
+    * Scale shape: one corpus scan feeds the per-doc bucket counts; the
+    * two LM aggregations roll up from those counts (map-side
+    * combinable); the weight table is ≤256 rows — broadcast — so
+    * per-doc scoring is one broadcast join away from map-only.
+    * Determinism: per-bucket weights round ln to 9 dp and the per-doc
+    * sum accumulates in DECIMAL (the [[unigramXent]] contract), so
+    * shuffle order cannot move the rounded score.
+    */
+  def dsirScore(spark: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 256
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(concat(lit("dsir:"), col("w"))), 1, 2).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val raw = perDoc.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val tgt = perDoc.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(sum(col("c")).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("tr"))
+      .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
+    // every bucket seen in ANY document is in `raw`; absent-from-target
+    // buckets smooth to ct = 0
+    val weights = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(
+          log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + nBuckets)) -
+            log((col("cr") + 1.0) / (col("tr") + nBuckets)),
+          9).cast("decimal(18,9)").as("wgt"))
+    perDoc.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round((sum(col("c").cast("decimal(10,0)") * col("wgt"))).cast("double")
+          / sum(col("c")), 6).as("dsir_score"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("dsir_score"))
+  }
+
   /** The fixed benchmark query set for [[bm25TopK]] — literal on both
     * the Spark and oracle sides.
     */

@@ -90,6 +90,19 @@ class PlanSpec extends AnyFunSuite {
       "centroids and probes must broadcast")
   }
 
+  test("q_kmeans: assignments broadcast + partial-agg; update is a keyed partial sum") {
+    val p = plan("q_kmeans")
+    // every assignment round crosses the corpus with the tiny centroid
+    // table by BROADCAST, and reduces by a max partial aggregation —
+    // never a window/sort over the n×k scored rows
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroids must broadcast into the assignment cross join")
+    assert(!p.contains("CartesianProduct"), "assignment must not shuffle-cross")
+    assert(!p.contains("Window"), "no window may touch the n×k scored rows")
+    assert(p.contains("partial_max") || (p.contains("max(") && p.contains("HashAggregate")),
+      s"expected max partial aggregation in:\n$p")
+  }
+
   test("q_embed_neardup: candidate dedup exchanges ids only, no embedding arrays") {
     val q = SparkEntry.queries("q_embed_neardup")(spark, dir)
     // sparkPlan, not executedPlan: the AQE wrapper is childless until run

@@ -653,4 +653,139 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     assert(p.toString.contains("WindowGroupLimit"),
       "per-query top-k must be a pushed group limit")
   }
+
+  test("weightedSample matches a brute-force A-Res reference; top-k never global-sorts") {
+    import graft.ops.CorpusOps
+    val dir = "/root/testdata/sf0.001"
+    val q = CorpusOps.weightedSample(spark, dir)
+
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ref = src.map { case (id, nChars) =>
+      val w = (1 + math.min(7L, nChars / 200)).toInt
+      val key = (1 to w).map(j => md5hex(s"wsamp:$id:$j")).max
+      (id, w, key)
+    }
+    val expected = ref.sortBy { case (id, _, key) => (key, -id) }(
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.Long.reverse))
+      .take(CorpusOps.WeightedSampleK)
+      .map { case (id, w, key) => id -> (w, key) }.toMap
+
+    val got = q.collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+
+    // the sampling genuinely tilts toward weight: the sample's mean
+    // weight must exceed the corpus mean (deterministic fixture)
+    val corpusMean = ref.map(_._2).sum.toDouble / ref.length
+    val sampleMean = expected.values.map(_._1).sum.toDouble / expected.size
+    assert(sampleMean > corpusMean,
+      f"sample mean weight $sampleMean%.2f must beat corpus $corpusMean%.2f")
+
+    // scale guard: the top-k is a per-partition heap + driver merge,
+    // never a global sort-shuffle
+    assert(q.queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"),
+      "weightedSample top-k must plan as TakeOrderedAndProject")
+  }
+
+  test("dsirScore matches a decimal-exact reference; weight table broadcasts") {
+    import graft.ops.TextAnalysisOps
+    val dir = "/root/testdata/sf0.001"
+    val q = TextAnalysisOps.dsirScore(spark, dir)
+
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def buckets(text: String): Map[String, Long] =
+      text.split(" ", -1).toSeq.groupBy(w => md5hex("dsir:" + w).take(2))
+        .map { case (b, ws) => b -> ws.length.toLong }
+    val perDoc = src.map { case (id, lang, text) => (id, lang, buckets(text)) }
+    val raw = perDoc.flatMap(_._3).groupBy(_._1)
+      .map { case (b, cs) => b -> cs.map(_._2).sum }
+    val tgt = perDoc.filter(_._2 == "en").flatMap(_._3).groupBy(_._1)
+      .map { case (b, cs) => b -> cs.map(_._2).sum }
+    val tr = raw.values.sum.toDouble
+    val tt = tgt.values.sum.toDouble
+    val wgt = raw.map { case (b, cr) =>
+      val d = math.log((tgt.getOrElse(b, 0L) + 1.0) / (tt + 256)) -
+        math.log((cr + 1.0) / (tr + 256))
+      b -> BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expected = perDoc.map { case (id, _, bs) =>
+      val n = bs.values.sum
+      val s = bs.map { case (b, c) => BigDecimal(c) * wgt(b) }.sum
+      id -> (n, BigDecimal(s.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+
+    val got = q.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+
+    // the selector genuinely separates: English documents (the target)
+    // must average a higher importance score than the rest
+    val (en, rest) = src.partition(_._2 == "en")
+    def meanOf(ids: Iterable[Long]) =
+      ids.map(got(_)._2).sum / ids.size
+    assert(meanOf(en.map(_._1)) > meanOf(rest.map(_._1)),
+      "target-language docs must score higher than non-target")
+
+    // scale guard: the ≤256-row weight table joins by broadcast
+    assert(q.queryExecution.sparkPlan.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "dsir weight table must broadcast")
+  }
+
+  test("kmeansAssign matches an independent Lloyd reference, 2 rounds + final assign") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.ops.SimilarityOps.kmeansAssign(spark, dir)
+
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def rnd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val byId = vecs.toMap
+    val stride = math.max(1L, vecs.length / 16L)
+    var cents: Seq[(Long, Array[Double])] =
+      vecs.filter(_._1 % stride == 0).map { case (id, v) => id -> v }
+    def assign(): Array[(Long, Long, Double)] = {
+      val cn = cents.map { case (cid, cv) => (cid, cv, math.sqrt(dot(cv, cv))) }
+      vecs.map { case (id, v) =>
+        val (cos, cid) = cn.map { case (c, cv, n) =>
+          (rnd(dot(v, cv) / (nrm(id) * n), 6), c)
+        }.maxBy { case (c, cid2) => (c, -cid2) }
+        (id, cid, cos)
+      }
+    }
+    for (_ <- 1 to 2) {
+      val a = assign()
+      cents = a.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, ms) =>
+        val members = ms.map(m => byId(m._1))
+        val cv = Array.tabulate(64) { p =>
+          val s = members.map(v => BigDecimal(rnd(v(p), 7))).sum
+          rnd(s.toDouble / members.size, 6)
+        }
+        cid -> cv
+      }
+    }
+    val expected = assign().map { case (id, cid, cos) => id -> (cid, cos) }.toMap
+
+    val got = q.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"vec $id") }
+    // the clustering genuinely iterates: round-2 centroids move the
+    // assignment of at least one vector vs the init assignment
+    assert(cents.size > 1, "fixture must produce multiple clusters")
+  }
 }
