@@ -81,12 +81,16 @@ object DedupScaleBench {
       }
       walls.min
     }
-    // materialize via an aggregate that forces every output column
+    // materialize via an aggregate that survives column pruning: the
+    // digest length forces the per-doc REBUILD + md5 (the op's whole
+    // point), the count column forces the first-wins aggregation path
     def drain(df: org.apache.spark.sql.DataFrame, c: String): Unit =
-      df.agg(sum(col(c)), count(lit(1))).collect()
+      df.agg(sum(length(col("digest"))), sum(col(c)), count(lit(1))).collect()
 
-    // warm-up (JIT/codegen), not timed
-    graft.ops.DedupOps.spanDedup(spark, dir).limit(1).collect()
+    // warm-up BOTH ops (JIT/codegen), not timed — same drain shape as
+    // the timed reps so neither op's first rep pays compilation
+    drain(graft.ops.DedupOps.spanDedup(spark, dir), "n_removed")
+    drain(graft.ops.DedupOps.paraDedup(spark, dir), "n_kept")
 
     val spanWall = time(() => drain(graft.ops.DedupOps.spanDedup(spark, dir), "n_removed"))
     val paraWall = time(() => drain(graft.ops.DedupOps.paraDedup(spark, dir), "n_kept"))

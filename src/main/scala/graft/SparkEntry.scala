@@ -85,6 +85,7 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => CorpusOps.repetitionStats(s, d)),
     "q_sample_strat" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
     "q_weighted_sample" -> ((s, d) => CorpusOps.weightedSample(s, d)),
+    "q_mixture" -> ((s, d) => CorpusOps.mixtureSample(s, d)),
     "q_filter_pipeline" -> ((s, d) => CorpusOps.filterPipeline(s, d)),
     "q_pack" -> ((s, d) => CorpusOps.packSequences(s, d)),
     "q_corpus_e2e" -> ((s, d) => CorpusOps.corpusEndToEndAuto(s, d)),
@@ -501,6 +502,28 @@ object SparkEntry {
            WHERE j <= w GROUP BY 1, 2)
          SELECT doc_id, w, skey FROM keys
          ORDER BY skey DESC, doc_id LIMIT 100""",
+
+    "q_mixture" ->
+      """WITH d AS (SELECT doc_id, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+         tg(lang, share) AS (VALUES ('en', 0.5), ('es', 0.3), ('de', 0.2)),
+         strata AS (SELECT lang, sum(n_tokens) AS stratum_tokens
+                    FROM d GROUP BY 1),
+         s2 AS (SELECT s.lang, stratum_tokens, share
+                FROM strata s JOIN tg USING (lang)),
+         bud AS (SELECT min(stratum_tokens / share) AS budget FROM s2),
+         rates AS (SELECT lang, share * budget / stratum_tokens AS rate
+                   FROM s2, bud),
+         thr AS (SELECT lang,
+                   CASE WHEN rate >= 1.0 THEN 'g'
+                        ELSE lpad(lower(hex(CAST(floor(rate * 4294967296.0)
+                               AS BIGINT))), 8, '0') END AS thr
+                 FROM rates)
+         SELECT d.doc_id, d.lang, d.n_tokens,
+                substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+                  AS kept
+         FROM d JOIN thr t USING (lang)""",
 
     "q_dsir" ->
       """WITH tok AS (

@@ -127,10 +127,8 @@ object CorpusOps {
     */
   def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
     val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    def hits(w: String): Column =
-      ((length(padded) - length(regexp_replace(padded,
-        java.util.regex.Pattern.quote(s" $w "), ""))) / (w.length + 2)).cast("long")
-    val nHits = Blocklist.map(hits).reduce(_ + _)
+    val nHits = Blocklist.map(w => TextAnalysisOps.markerCount(padded, s" $w "))
+      .reduce(_ + _)
     val nTokens = size(split(col("text"), " ")).cast("long")
     docs(spark, dir).select(col("doc_id"),
       nHits.as("n_hits"),
@@ -169,6 +167,68 @@ object CorpusOps {
       .when(col("lang") === "es", lit("33333333"))
       .otherwise(lit("ffffffff"))
     docs(spark, dir).filter(u < thr).select(col("doc_id"), col("lang"))
+  }
+
+  /** Target language shares for [[mixtureSample]] — literal on both
+    * the Spark and oracle sides.
+    */
+  final val MixtureTargets: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "es" -> 0.3, "de" -> 0.2)
+
+  /** Token-budget mixture sampling — the data-MIXING op: given target
+    * language shares, measure each stratum's token mass, take the
+    * largest total budget B the corpus can serve at those shares
+    * (B = min over strata of tokens/share — the binding stratum keeps
+    * everything), and keep each document with probability
+    * rate = share·B / stratumTokens via an md5-derived uniform. Unlike
+    * [[stratifiedSample]] (static rates), the rates here are COMPUTED
+    * from the data, which is what a real mixture-balancing pass does.
+    *
+    * Engine portability of a data-dependent float threshold: the
+    * uniform is the first 8 hex chars of md5("mix:" || doc_id); the
+    * threshold is floor(rate·2^32) rendered as 8-digit lower-hex, so
+    * the comparison is lexicographic on equal-width hex again. The
+    * binding stratum's rate is exactly 1 (2^32 overflows 8 digits), so
+    * rate ≥ 1 short-circuits to the always-keep sentinel "g" (> every
+    * hex digit). rate is a product/quotient of exactly-representable
+    * longs and literal shares — both engines compute the identical
+    * double, hence the identical threshold.
+    *
+    * Scale shape: stratum masses are one map-side-combinable
+    * aggregation; the ≤|langs| rate table broadcasts; the keep
+    * decision is then map-only. Document-level thresholding
+    * approximates token-level mass (docs are KB-scale and rates apply
+    * within a stratum, so the expected token error is O(1/√docs)).
+    *
+    * Non-target languages are excluded from the output (share 0); a
+    * TARGET language absent from the corpus would make its share
+    * unservable — this op treats missing strata as non-binding (the
+    * budget minimizes over PRESENT strata only), which both engines
+    * compute identically; all [[MixtureTargets]] languages exist at
+    * every test SF, so the fixture never exercises that edge.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val targetCol = MixtureTargets.foldLeft(lit(null).cast("double")) {
+      case (acc, (l, s)) => when(col("lang") === l, lit(s)).otherwise(acc)
+    }
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val strata = d.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("stratum_tokens"))
+      .withColumn("share", targetCol)
+      .filter(col("share").isNotNull)
+    val budget = strata
+      .agg(min(col("stratum_tokens") / col("share")).as("budget"))
+    val rates = strata.crossJoin(broadcast(budget))
+      .select(col("lang"),
+        (col("share") * col("budget") / col("stratum_tokens")).as("rate"))
+    val thr = when(col("rate") >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex(floor(col("rate") * 4294967296.0).cast("bigint"))),
+        8, "0"))
+    val u = substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8)
+    d.join(broadcast(rates.select(col("lang"), thr.as("thr"))), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (u < col("thr")).as("kept"))
   }
 
   /** Top-k size for [[weightedSample]] — literal on both the Spark and

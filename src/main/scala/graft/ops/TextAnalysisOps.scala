@@ -14,9 +14,10 @@ object TextAnalysisOps {
     spark.read.parquet(s"$dir/documents.parquet")
 
   /** Count non-overlapping occurrences of a space-delimited marker via
-    * length difference (portable to any SQL engine).
+    * length difference (portable to any SQL engine). Shared with
+    * [[CorpusOps.blocklistFilter]].
     */
-  private def markerCount(c: Column, marker: String): Column =
+  private[ops] def markerCount(c: Column, marker: String): Column =
     ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), "")))
       / marker.length).cast("long")
 

@@ -739,6 +739,53 @@ class StreamingAndOpsSpec extends AnyFunSuite {
       "dsir weight table must broadcast")
   }
 
+  test("mixtureSample matches an independent reference; binding stratum keeps all") {
+    import graft.ops.CorpusOps
+    val dir = "/root/testdata/sf0.001"
+    val q = CorpusOps.mixtureSample(spark, dir)
+
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val targets = CorpusOps.MixtureTargets.toMap
+    val strata = src.filter(t => targets.contains(t._2))
+      .groupBy(_._2).map { case (l, ds) => l -> ds.map(_._3).sum }
+    val budget = strata.map { case (l, tok) => tok / targets(l) }.min
+    val thr = strata.map { case (l, tok) =>
+      val rate = targets(l) * budget / tok
+      l -> (if (rate >= 1.0) "g"
+            else f"${math.floor(rate * 4294967296.0).toLong}%08x")
+    }
+    val expected = src.filter(t => targets.contains(t._2)).map {
+      case (id, l, n) => id -> (l, n, md5hex(s"mix:$id").take(8) < thr(l))
+    }.toMap
+
+    val got = q.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+
+    // the binding stratum keeps EVERYTHING; at least one other stratum
+    // genuinely drops documents (rates are data-dependent, not static)
+    val binding = strata.minBy { case (l, tok) => tok / targets(l) }._1
+    val byLang = expected.values.groupBy(_._1)
+    assert(byLang(binding).forall(_._3), "binding stratum must keep all docs")
+    assert(byLang.exists { case (_, ds) => ds.exists(!_._3) },
+      "some non-binding stratum must drop docs")
+
+    // realized mixture approaches the target shares: each kept
+    // stratum's token share is within 15% relative of its target
+    val keptTok = byLang.map { case (l, ds) =>
+      l -> ds.filter(_._3).map(_._2).sum.toDouble }
+    val keptTotal = keptTok.values.sum
+    keptTok.foreach { case (l, tok) =>
+      val share = tok / keptTotal
+      assert(math.abs(share - targets(l)) / targets(l) < 0.15,
+        f"stratum $l realized share $share%.3f vs target ${targets(l)}%.2f")
+    }
+  }
+
   test("kmeansAssign matches an independent Lloyd reference, 2 rounds + final assign") {
     val dir = "/root/testdata/sf0.001"
     val q = graft.ops.SimilarityOps.kmeansAssign(spark, dir)
@@ -767,8 +814,10 @@ class StreamingAndOpsSpec extends AnyFunSuite {
         (id, cid, cos)
       }
     }
-    for (_ <- 1 to 2) {
+    var initAssign: Map[Long, Long] = Map.empty
+    for (round <- 1 to 2) {
       val a = assign()
+      if (round == 1) initAssign = a.map(t => t._1 -> t._2).toMap
       cents = a.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, ms) =>
         val members = ms.map(m => byId(m._1))
         val cv = Array.tabulate(64) { p =>
@@ -784,8 +833,11 @@ class StreamingAndOpsSpec extends AnyFunSuite {
       r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got.keySet == expected.keySet)
     expected.foreach { case (id, e) => assert(got(id) == e, s"vec $id") }
-    // the clustering genuinely iterates: round-2 centroids move the
-    // assignment of at least one vector vs the init assignment
+    // the update rounds genuinely BITE on this fixture: at least one
+    // vector's final centroid differs from its init-round assignment
+    // (a no-op update step returning init assignments must fail here)
     assert(cents.size > 1, "fixture must produce multiple clusters")
+    assert(expected.exists { case (id, (cid, _)) => initAssign(id) != cid },
+      "round-2 centroids must move at least one assignment vs init")
   }
 }
