@@ -399,7 +399,8 @@ object SparkEntry {
 
     "q_blocklist" ->
       """WITH p AS (
-           SELECT doc_id, ' ' || lower(text) || ' ' AS pd,
+           SELECT doc_id,
+                  ' ' || replace(lower(text), ' ', '  ') || ' ' AS pd,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
            FROM documents),
          h AS (
@@ -516,7 +517,7 @@ object SparkEntry {
          rates AS (SELECT lang, share * budget / stratum_tokens AS rate
                    FROM s2, bud),
          thr AS (SELECT lang,
-                   CASE WHEN rate >= 1.0 THEN 'g'
+                   CASE WHEN rate >= 1.0 - 1e-9 THEN 'g'
                         ELSE lpad(lower(hex(CAST(floor(rate * 4294967296.0)
                                AS BIGINT))), 8, '0') END AS thr
                  FROM rates)

@@ -126,7 +126,11 @@ object CorpusOps {
     * column expressions, map-only, zero shuffles at any corpus size.
     */
   def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    // internal spaces are DOUBLED before padding so adjacent hits don't
+    // share a boundary space — the non-overlapping length-difference
+    // count would otherwise see "spam spam spam" as 2 hits, not 3
+    val padded = concat(lit(" "),
+      regexp_replace(lower(col("text")), " ", "  "), lit(" "))
     val nHits = Blocklist.map(w => TextAnalysisOps.markerCount(padded, s" $w "))
       .reduce(_ + _)
     val nTokens = size(split(col("text"), " ")).cast("long")
@@ -188,11 +192,17 @@ object CorpusOps {
     * uniform is the first 8 hex chars of md5("mix:" || doc_id); the
     * threshold is floor(rate·2^32) rendered as 8-digit lower-hex, so
     * the comparison is lexicographic on equal-width hex again. The
-    * binding stratum's rate is exactly 1 (2^32 overflows 8 digits), so
-    * rate ≥ 1 short-circuits to the always-keep sentinel "g" (> every
-    * hex digit). rate is a product/quotient of exactly-representable
-    * longs and literal shares — both engines compute the identical
-    * double, hence the identical threshold.
+    * binding stratum's rate is 1 up to floating-point rounding —
+    * share·(T/share)/T goes through three roundings and can land at
+    * 1−ulp, which would floor to the "ffffffff" threshold and silently
+    * drop ~n/2^32 of the stratum documented to keep everything — so
+    * the always-keep sentinel "g" (> every hex digit) engages at
+    * rate ≥ 1−1e-9 (the epsilon absorbs ulps, as in
+    * [[SimilarityOps.planesPerBand]]; a GENUINE rate that close to 1
+    * keeps everything semantically anyway). rate is a
+    * product/quotient of exactly-representable longs and literal
+    * shares — both engines compute the identical double, hence the
+    * identical threshold.
     *
     * Scale shape: stratum masses are one map-side-combinable
     * aggregation; the ≤|langs| rate table broadcasts; the keep
@@ -222,7 +232,7 @@ object CorpusOps {
     val rates = strata.crossJoin(broadcast(budget))
       .select(col("lang"),
         (col("share") * col("budget") / col("stratum_tokens")).as("rate"))
-    val thr = when(col("rate") >= 1.0, lit("g"))
+    val thr = when(col("rate") >= 1.0 - 1e-9, lit("g"))
       .otherwise(lpad(lower(hex(floor(col("rate") * 4294967296.0).cast("bigint"))),
         8, "0"))
     val u = substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8)
