@@ -300,17 +300,18 @@ object SimilarityOps {
         .as("recall_at_k"))
   }
 
-  /** Left-to-right double dot product as a compositional HOF — the
-    * k-means iteration needs dots against DERIVED centroids
-    * (array<double> built by the update step), which the float-typed
-    * native [[graft.functions.VecDot]] can't take. Elements cast to
-    * double BEFORE multiplying, matching the oracle's
-    * `CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)` fold exactly.
+  /** Left-to-right double dot product for the k-means rounds — the
+    * iteration dots run against DERIVED centroids (array<double> from
+    * the update step) as well as the float corpus vectors;
+    * [[graft.functions.VecDot]] natively takes array<float|double> on
+    * either side with the identical per-element to-double fold, so
+    * this is the same codegen'd loop the other similarity ops use
+    * (~50× the interpreted `aggregate(zip_with(...))` form) and the
+    * same arithmetic as the oracle's
+    * `CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)` fold.
     */
   private def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vec_dot(a, b)
 
   /** Lloyd k-means over the embedding column — the codebook-training /
     * topic-balancing primitive (SemDeDup-style cluster-then-dedup
