@@ -245,9 +245,13 @@ object TextAnalysisOps {
     val lens = d.select(col("doc_id"), size(col("toks")).as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    // postings restricted to query terms before any shuffle
-    val toks = d.select(col("doc_id"), explode(col("toks")).as("w"))
-      .join(broadcast(Bm25Queries.map(_._2).distinct.toDF("w")), "w")
+    // postings restricted to query terms BEFORE the explode: the
+    // row-local array filter means Generate emits only matching
+    // postings (~hits), never the corpus token stream (~n·len rows
+    // materialized then discarded by a post-explode join)
+    val termSet = Bm25Queries.map(_._2).distinct
+    val toks = d.select(col("doc_id"),
+        explode(filter(col("toks"), t => t.isInCollection(termSet))).as("w"))
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     tf.join(df, "w")

@@ -639,13 +639,16 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     expected.foreach { case (k, e) => assert(got(k) == e, s"$k") }
     assert(got.size == 50)
 
-    // scale guards: token filter against the query terms is a broadcast
-    // join (postings work ∝ matches, not corpus), and the per-query
-    // top-k pushes the limit below the sort
+    // scale guards: the token array is filtered to query terms BEFORE
+    // the explode (Generate emits only matching postings, never the
+    // corpus token stream), dimension tables broadcast, and the
+    // per-query top-k pushes the limit below the sort
     val p = q.queryExecution.sparkPlan
+    assert(p.toString.contains("explode(filter("),
+      "query-term filter must run inside the array, before the explode")
     assert(p.exists(_.isInstanceOf[
       org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
-      "query-term filter must broadcast")
+      "query/stats tables must broadcast")
     assert(p.toString.contains("WindowGroupLimit"),
       "per-query top-k must be a pushed group limit")
   }
