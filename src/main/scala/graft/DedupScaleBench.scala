@@ -22,16 +22,17 @@ import org.apache.spark.sql.functions._
   * best-of-N reps (VM-steal protocol).
   */
 object DedupScaleBench {
+  private val vocab = Array(
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value",
+    "part", "hash", "merge", "batch", "spark", "window", "order",
+    "data", "column", "join", "small", "line", "customer", "query",
+    "filter", "group", "big", "vector", "the", "a", "index", "page",
+    "cache", "disk", "read", "write", "block", "plan", "stage",
+    "task", "node", "core", "byte", "span", "gram", "text", "token",
+    "shard", "split", "sort", "limit", "count")
+
   /** Deterministic doc text for index i (plain LCG — no JVM Random). */
   def textOf(i: Long): String = {
-    val vocab = Array(
-      "key", "agg", "row", "scan", "slow", "fast", "table", "value",
-      "part", "hash", "merge", "batch", "spark", "window", "order",
-      "data", "column", "join", "small", "line", "customer", "query",
-      "filter", "group", "big", "vector", "the", "a", "index", "page",
-      "cache", "disk", "read", "write", "block", "plan", "stage",
-      "task", "node", "core", "byte", "span", "gram", "text", "token",
-      "shard", "split", "sort", "limit", "count")
     val src = if (i % 33 == 13 && i >= 7) i - 7 else i // 3% exact dups
     var x = src * 6364136223846793005L + 1442695040888963407L
     def next(): Int = {
@@ -62,7 +63,12 @@ object DedupScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+    // reuse gate checks the ROW COUNT, not just _SUCCESS: a pinned
+    // SPARK_GRAFT_DOCS_DIR with a changed SPARK_GRAFT_DOCS must
+    // regenerate, or rates would divide env nDocs by a stale corpus
+    val fresh = new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists() &&
+      spark.read.parquet(s"$dir/documents.parquet").count() == nDocs
+    if (!fresh) {
       spark.range(nDocs).repartition(64)
         .map(i => (i, textOf(i)))
         .toDF("doc_id", "text")

@@ -226,9 +226,11 @@ object TextAnalysisOps {
   /** BM25 ranked retrieval (Robertson k1=1.2, b=0.75, the +1 idf
     * variant): top-10 documents per query over whitespace tokens.
     *
-    * Scale shape: the query-term table broadcasts and SEMI-filters the
-    * exploded token stream before any aggregation, so tf/df work is
-    * proportional to matching postings, not the corpus; document
+    * Scale shape: the token ARRAY is filtered to the literal query
+    * terms before the explode, so Generate emits only matching
+    * postings and tf/df work is proportional to matches, not the
+    * corpus (a post-explode join would materialize the n·len token
+    * stream first); document
     * lengths ride the same scan; N and avgdl are broadcast scalars; the
     * per-query top-k is a rank-filter window (WindowGroupLimit pushes
     * the limit below the sort). Per-term scores round to 9 dp and

@@ -648,7 +648,10 @@ class StreamingAndOpsSpec extends AnyFunSuite {
       "query-term filter must run inside the array, before the explode")
     assert(p.exists(_.isInstanceOf[
       org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
-      "query/stats tables must broadcast")
+      "query-term equi-join must broadcast")
+    assert(p.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "scalar stats cross-join must broadcast (BNLJ), not shuffle")
     assert(p.toString.contains("WindowGroupLimit"),
       "per-query top-k must be a pushed group limit")
   }
