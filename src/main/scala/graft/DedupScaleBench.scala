@@ -55,7 +55,12 @@ object DedupScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-dedup-scale-bench")
-      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      // FIXED across parallelism levels: partitions sized to the DATA
+      // (not the cores) keep per-partition state equal at both legs —
+      // cpus*4 gave the 2-core leg 8 partitions of ~4× the state (and
+      // ~4× the spill) of the 8-core leg's 32, contaminating the
+      // scaling ratio with a layout difference
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (32L << 20).toString)
       .config("spark.ui.enabled", "false")
