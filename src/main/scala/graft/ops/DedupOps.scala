@@ -422,7 +422,7 @@ object DedupOps {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"),
         SimilarityOps.norm(col("embedding")).as("n"))
-    SimilarityOps.bandedSrpPairs(spark, dir)
+    SimilarityOps.bandedSrpPairsShared(spark, dir)
       .join(e.select(col("vec_id").as("a"), col("embedding").as("va"),
         col("n").as("na")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("embedding").as("vb"),

@@ -50,9 +50,15 @@ object ExtractOps {
     html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** documents(dir) as a pages table: (url, warc_ts, html, text, lang). */
+  /** documents(dir) as a pages table: (url, warc_ts, html, text, lang).
+    * The scan is spread to session parallelism BEFORE page synthesis
+    * ([[graft.ops.Par.spread]]): the wrap + extract work is row-heavy
+    * and would otherwise run on the scan's split count — one task for a
+    * single-file corpus (no-op at production split counts).
+    */
   def documentsAsPages(spark: SparkSession, dir: String): Dataset[PageRow] =
-    documentsAsPagesOf(spark.read.parquet(s"$dir/documents.parquet"))
+    documentsAsPagesOf(graft.ops.Par.spread(
+      spark.read.parquet(s"$dir/documents.parquet"), dir))
 
   /** [[documentsAsPages]] over a caller-supplied documents slice — the
     * incremental hook: a resume synthesizes pages ONLY for pending
@@ -100,7 +106,8 @@ object ExtractOps {
     */
   def pdfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pages = spark.read.parquet(s"$dir/documents.parquet")
+    val pages = graft.ops.Par.spread(
+        spark.read.parquet(s"$dir/documents.parquet"), dir)
       .select(col("doc_id"), col("text"), col("lang"))
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
@@ -147,7 +154,7 @@ object ExtractOps {
     */
   def spansRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.ops.Par.spread(spark.read.parquet(s"$dir/documents.parquet"), dir)
       .select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)]
       .map { case (id, text, source) =>

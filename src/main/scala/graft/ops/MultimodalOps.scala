@@ -47,7 +47,10 @@ object MultimodalOps {
     */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    // spread BEFORE the codec maps (Par.spread, guide §2.5): encode +
+    // decode are the per-row cost and a single-file corpus scans as one
+    // split — one task doing all the codec work (no-op at scale)
+    Par.spread(spark.read.parquet(s"$dir/documents.parquet"), dir)
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // in-memory PNG encode
@@ -169,7 +172,8 @@ object MultimodalOps {
 
   def imagesFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    // spread before the codec maps — see mediaFromDocuments
+    Par.spread(spark.read.parquet(s"$dir/documents.parquet"), dir)
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // in-memory encode too

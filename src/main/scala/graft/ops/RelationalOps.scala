@@ -16,7 +16,10 @@ object RelationalOps {
 
   /** A9 summary: distinct entity counts + relationship totals. */
   def summaryCounts(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
+    // spread before the distinct-count Expand (Par.spread, guide §2.5):
+    // the ×3 row expansion + partial aggregation is the per-row cost
+    // and a single-file table scans as one split (no-op at scale)
+    val li = Par.spread(t(spark, dir, "lineitem"), dir, "lineitem", "l_orderkey")
     val o = t(spark, dir, "orders")
     val c = t(spark, dir, "customer")
     val p = t(spark, dir, "part")
@@ -33,7 +36,10 @@ object RelationalOps {
 
   /** A10 integrity: duplicate-key scan (keys appearing more than once). */
   def duplicateIdCheck(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+    // spread ON THE GROUPING KEY: the repartition satisfies the
+    // aggregation's required distribution, so no second exchange is
+    // added — the single-split scan's per-row agg work parallelizes
+    Par.spread(t(spark, dir, "lineitem"), dir, "lineitem", "l_orderkey")
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
@@ -72,7 +78,7 @@ object RelationalOps {
     * as two broadcast left joins + coalesce.
     */
   def lookupCascade(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
+    val ev = Par.spread(t(spark, dir, "events"), dir, "events", "event_id")
     val cust = t(spark, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_name").as("cust_name"))
     val supp = t(spark, dir, "supplier")
@@ -159,7 +165,7 @@ object RelationalOps {
         col("n_events"), col("sum_value"))
 
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+    Par.spread(t(spark, dir, "lineitem"), dir, "lineitem", "l_orderkey")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).cast("double").as("sum_qty"),
@@ -203,7 +209,7 @@ object RelationalOps {
     * against small dims, dims broadcast).
     */
   def joinAgg(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
+    val li = Par.spread(t(spark, dir, "lineitem"), dir, "lineitem", "l_orderkey")
     val o = t(spark, dir, "orders")
     val c = t(spark, dir, "customer")
     val n = t(spark, dir, "nation")

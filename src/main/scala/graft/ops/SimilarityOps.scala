@@ -21,6 +21,26 @@ object SimilarityOps {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Row count of the embeddings table, computed once per (application,
+    * corpus file-status identity). The count only parameterizes PLAN
+    * SHAPE — [[planesPerBand]] and the centroid stride — yet six
+    * declared queries each paid their own full count job over the same
+    * immutable table (guide §1.2: don't compute things twice). Keyed by
+    * the layout tag (bytes + newest mtime), so a regenerated corpus at
+    * the same path recomputes — the same derived-metadata contract as
+    * [[graft.ops.DedupOps.minhashLshPairsShared]]; entries of stopped
+    * contexts are pruned on the way in.
+    */
+  private def embCount(spark: SparkSession, dir: String): Long = {
+    countCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    val key = (spark.sparkContext.applicationId,
+      s"$dir:${RelationalOps.layoutTag(spark, dir, "embeddings")}")
+    countCache.computeIfAbsent(key, _ => emb(spark, dir).count())
+  }
+
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+
   /** Left-to-right double-precision dot product of two float arrays —
     * the fold order is fixed so results are bit-reproducible (and match
     * the DuckDB oracle's list fold). Implemented as a native codegen'd
@@ -110,7 +130,7 @@ object SimilarityOps {
   def lshBucketedNeighbors(spark: SparkSession, dir: String,
                            minCos: Double = 0.2): DataFrame = {
     val e = emb(spark, dir)
-    val nPlanes = math.max(8, planesPerBand(e.count()))
+    val nPlanes = math.max(8, planesPerBand(embCount(spark, dir)))
     // candidate generation on BARE (bucket, id) rows: no embedding array
     // ever crosses the self-join's exchange (the banded variant's shape,
     // [[bandedSrpPairs]] — PlanSpec-asserted). Single band ⇒ a pair
@@ -149,7 +169,7 @@ object SimilarityOps {
   def bandedSrpPairs(spark: SparkSession, dir: String,
                      nBands: Int = 4, targetOccupancy: Int = 8): DataFrame = {
     val e = emb(spark, dir)
-    val ppb = planesPerBand(e.count(), targetOccupancy)
+    val ppb = planesPerBand(embCount(spark, dir), targetOccupancy)
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"), srpBucket(ppb, b * ppb).as("bucket"))
     }
@@ -163,6 +183,38 @@ object SimilarityOps {
       .select(col("a"), col("b"))
       .distinct()
   }
+
+  /** One materialization of the DEFAULT-parameter banded SRP candidate
+    * pairs per (application, corpus): `q_embed_neardup` and
+    * `q_srp_recall` consume the SAME pair set, and srpRecall references
+    * it TWICE (the query-side orientation union) — uncached, the banded
+    * self-join subtree is derived up to three times per run. Identical
+    * contract to [[graft.ops.DedupOps.minhashLshPairsShared]]: keyed by
+    * the embeddings table's file-status identity so a regenerated
+    * corpus recomputes instead of serving stale pairs, superseded
+    * entries unpersisted, dead-context entries dropped on the way in.
+    * Purely physical — the pair SET is identical to an uncached
+    * [[bandedSrpPairs]] call.
+    */
+  def bandedSrpPairsShared(spark: SparkSession, dir: String): DataFrame = {
+    sharedSrpCache.entrySet().removeIf(
+      e => e.getValue._2.sparkSession.sparkContext.isStopped)
+    val dirKey = s"${spark.sparkContext.applicationId}:$dir"
+    val tag = RelationalOps.layoutTag(spark, dir, "embeddings")
+    sharedSrpCache.compute(dirKey, (_, prev) => {
+      if (prev != null && prev._1 == tag) prev
+      else {
+        // same concurrency contract as minhashLshPairsShared: rewriting
+        // a corpus in place under live queries is out of contract
+        if (prev != null) prev._2.unpersist(blocking = false)
+        (tag, bandedSrpPairs(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+    })._2
+  }
+
+  private val sharedSrpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
   /** IVF-style ANN with a FIXED centroid count: `nCentroids` vectors
     * sampled deterministically by id stride (stride = n / nCentroids, so
@@ -178,7 +230,7 @@ object SimilarityOps {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
               nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
     val e = emb(spark, dir).withColumn("en", norm(col("embedding")))
-    val stride = math.max(1L, e.count() / nCentroids)
+    val stride = math.max(1L, embCount(spark, dir) / nCentroids)
     val centroids = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         col("en").as("cn"))
@@ -285,7 +337,7 @@ object SimilarityOps {
     val exact = bruteForceTopK(spark, dir, k, nQueries)
       .filter(col("cos") >= minCos)
       .select(col("query_id"), col("neighbor_id"))
-    val pairs = bandedSrpPairs(spark, dir)
+    val pairs = bandedSrpPairsShared(spark, dir)
     // orient candidate pairs around the query endpoint (either side of
     // the a<b pair can be a query); hit rows are ids only
     val cand = pairs.filter(col("a") < nQueries)
@@ -339,7 +391,7 @@ object SimilarityOps {
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = 16,
                    iters: Int = 2): DataFrame = {
     val e = emb(spark, dir)
-    val stride = math.max(1L, e.count() / k)
+    val stride = math.max(1L, embCount(spark, dir) / k)
     val withN = e.select(col("vec_id"), col("embedding"),
       sqrt(dotD(col("embedding"), col("embedding"))).as("en"))
 

@@ -58,14 +58,22 @@ object TextAnalysisOps {
     * against the corpus's `lang` label (prediction from P(2.8)-style
     * heuristics; the label set is wider than the predictor's — non-
     * {en,pt,es} labels measure the open-set error rate).
+    *
+    * ONE scan: prediction and label come off the same documents row, so
+    * the confusion matrix is a single map-side-combinable aggregation —
+    * the previous self-join of [[langId]]'s output back against the
+    * table re-scanned the corpus and shuffled it through a doc_id join
+    * for columns that were row-local all along (guide §2.4: remove
+    * shuffles outright).
     */
-  def langIdAccuracy(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("lang"))
-    langId(spark, dir)
-      .join(d, Seq("doc_id"))
+  def langIdAccuracy(spark: SparkSession, dir: String): DataFrame =
+    // spread before the 15-marker scoring pass (Par.spread, guide §2.5):
+    // the regex counting is the per-row cost and a single-file corpus
+    // scans as one split (no-op at production split counts)
+    Par.spread(docs(spark, dir), dir)
+      .select(col("lang"), predictedLangCol(col("text")).as("predicted_lang"))
       .groupBy(col("lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n"))
-  }
 
   /** quality_ok as a pure column expression over `text` — shared by
     * [[qualityScore]] and the composite filter pipeline. Thresholds on
@@ -140,13 +148,17 @@ object TextAnalysisOps {
   def unigramXent(spark: SparkSession, dir: String): DataFrame = {
     // ONE corpus scan: vocabulary counts roll up from the per-doc
     // aggregation instead of re-exploding the token stream
-    val perDoc = docs(spark, dir)
+    val perDoc = Par.spread(docs(spark, dir), dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("cwd"))
     val counts = perDoc.groupBy(col("w")).agg(sum(col("cwd")).as("cw"))
     val total = counts.agg(sum(col("cw")).as("tt"))
-    perDoc.join(counts, "w")
+    // broadcast FORCED, not threshold-carried (verdict r5 nit 3): the
+    // word key is Zipf-skewed, so a sort-merge fallback on a mature
+    // corpus would shuffle the Zipf head through one partition; a real
+    // LM's vocab is bounded, so the count side always broadcasts
+    perDoc.join(broadcast(counts), "w")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("cwd"),
         (col("cwd").cast("decimal(10,0)") *
@@ -173,31 +185,37 @@ object TextAnalysisOps {
     * add-one smoothing p̂(b) = (c(b)+1)/(T+256). Positive ⇒ looks more
     * like the target than the raw corpus.
     *
-    * Scale shape: one corpus scan feeds the per-doc bucket counts; the
-    * two LM aggregations roll up from those counts (map-side
-    * combinable); the weight table is ≤256 rows — broadcast — so
-    * per-doc scoring is one broadcast join away from map-only.
+    * Scale shape: one corpus scan feeds the per-doc bucket counts; BOTH
+    * LMs roll up from those counts in a single map-side-combinable
+    * aggregation (the target LM as a conditional sum over the same
+    * groupBy); the weight table is ≤256 rows — broadcast — so per-doc
+    * scoring is one broadcast join away from map-only.
     * Determinism: per-bucket weights round ln to 9 dp and the per-doc
     * sum accumulates in DECIMAL (the [[unigramXent]] contract), so
     * shuffle order cannot move the rounded score.
     */
   def dsirScore(spark: SparkSession, dir: String): DataFrame = {
     val nBuckets = 256
-    val perDoc = docs(spark, dir)
+    val perDoc = Par.spread(docs(spark, dir), dir)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), col("lang"),
         substring(md5(concat(lit("dsir:"), col("w"))), 1, 2).as("b"))
       .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("c"))
-    val raw = perDoc.groupBy(col("b")).agg(sum(col("c")).as("cr"))
-    val tgt = perDoc.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(sum(col("c")).as("ct"))
-    val totals = raw.agg(sum(col("cr")).as("tr"))
-      .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
-    // every bucket seen in ANY document is in `raw`; absent-from-target
-    // buckets smooth to ct = 0
-    val weights = raw.join(tgt, Seq("b"), "left")
+    // ONE bucket aggregation builds BOTH LMs: the raw count and the
+    // target (lang = 'en') count ride the same groupBy via a
+    // conditional sum — sum(when) yields NULL exactly where the old
+    // raw-LEFT-JOIN-tgt produced a null ct (no target rows in the
+    // bucket), so the smoothing arithmetic is unchanged. The previous
+    // two-branch form re-derived the perDoc explode+aggregation subtree
+    // per LM (guide §2.4: share one exchange instead of re-computing).
+    val buckets = perDoc.groupBy(col("b")).agg(
+      sum(col("c")).as("cr"),
+      sum(when(col("lang") === "en", col("c"))).as("ct"))
+    val totals = buckets.agg(sum(col("cr")).as("tr"),
+      coalesce(sum(col("ct")), lit(0L)).as("tt"))
+    val weights = buckets
       .crossJoin(broadcast(totals))
       .select(col("b"),
         round(
@@ -242,7 +260,11 @@ object TextAnalysisOps {
     val k1 = 1.2
     val b = 0.75
     val queries = broadcast(Bm25Queries.toDF("query_id", "term"))
-    val d = docs(spark, dir).select(col("doc_id"),
+    // spread before tokenization: d feeds BOTH the stats leg and the
+    // postings leg — the identical repartition subtree reuses one
+    // exchange (ReusedExchange), so the corpus is split exactly once
+    // and both legs read it parallel (single-split scan otherwise)
+    val d = Par.spread(docs(spark, dir), dir).select(col("doc_id"),
       split(col("text"), " ").as("toks"))
     val lens = d.select(col("doc_id"), size(col("toks")).as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
@@ -252,12 +274,19 @@ object TextAnalysisOps {
     // postings (~hits), never the corpus token stream (~n·len rows
     // materialized then discarded by a post-explode join)
     val termSet = Bm25Queries.map(_._2).distinct
-    val toks = d.select(col("doc_id"),
+    // dl rides the posting row (functionally dependent on doc_id, so
+    // the tf groupBy result is unchanged): one extra int per MATCHING
+    // posting instead of a corpus-wide lens join — the old shape
+    // exchanged the whole doc-length table on doc_id to re-attach a
+    // value the scan already had row-locally (guide §2.4)
+    val toks = d.select(col("doc_id"), size(col("toks")).as("dl"),
         explode(filter(col("toks"), t => t.isInCollection(termSet))).as("w"))
-    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    tf.join(df, "w")
-      .join(lens, "doc_id")
+    // df is ≤ |distinct query terms| rows — broadcast it so the tf side
+    // never re-shuffles on the Zipf-skewed word key (guide §3.1)
+    tf.join(broadcast(df), "w")
       .crossJoin(broadcast(stats))
       .join(queries, col("w") === col("term"))
       .select(col("query_id"), col("doc_id"),

@@ -208,11 +208,34 @@ class PipelineSpec extends AnyFunSuite {
     // (corpus-global), only NEW docs get decided, packing recomputes —
     // and the table converges to a fresh one-shot over the full corpus
     src.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val initialDocs = src.filter(col("doc_id") < 150 || col("doc_id") % 11 === 0).count()
+    val grownDocs = src.count()
     val grown = run(rootA)
     assert(new TableIO(s"$rootA/decisions").snapshots().length == 2,
       "growth resume must append one decisions snapshot, not rewrite")
+    // r6 incremental dedup: growth APPENDS a bands snapshot holding only
+    // the NEW docs' band rows (4 bands per doc) — the committed corpus
+    // is never re-banded, so the stage's banding work scales with the
+    // increment, not the corpus
+    val bandSnaps = new TableIO(s"$rootA/bands").snapshots()
+    assert(bandSnaps.length == 2,
+      s"growth resume must append one bands snapshot, got ${bandSnaps.length}")
+    assert(bandSnaps.head.rows == initialDocs * 4,
+      s"first bands snapshot must band the initial corpus only " +
+        s"(${bandSnaps.head.rows} rows vs ${initialDocs * 4})")
+    assert(bandSnaps.last.rows == (grownDocs - initialDocs) * 4,
+      s"growth bands snapshot must band ONLY the new docs " +
+        s"(${bandSnaps.last.rows} rows vs ${(grownDocs - initialDocs) * 4})")
+    // converges byte-identically to a fresh one-shot over the full corpus
     val rootC = java.nio.file.Files.createTempDirectory("graft-e2e-c").toString
     assert(run(rootC) == grown)
+    // ... including the component labels themselves: the incrementally
+    // re-solved cc table equals the one-shot's, row for row
+    def ccRows(root: String): Set[String] =
+      new TableIO(s"$root/cc").readTable(spark).get
+        .collect().map(_.toString).toSet
+    assert(ccRows(rootA) == ccRows(rootC),
+      "incremental component labels must equal the one-shot labels")
   }
 
   test("mergeByKey: MERGE INTO-shaped upsert is idempotent and keeps rollback snapshots") {

@@ -107,12 +107,25 @@ class PlanSpec extends AnyFunSuite {
     val q = SparkEntry.queries("q_embed_neardup")(spark, dir)
     // sparkPlan, not executedPlan: the AQE wrapper is childless until run
     val p = q.queryExecution.sparkPlan
+    // the candidate pairs are served from the shared persisted
+    // materialization (bandedSrpPairsShared) — the distinct lives inside
+    // the InMemoryRelation's cached plan, so descend into it
+    val cachedPlans = p.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan match {
+          // the cached plan is AQE-wrapped and childless until run —
+          // descend through its input plan, as with sparkPlan above
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.inputPlan
+          case other => other
+        }
+    }
     // find the aggregate implementing the candidate-pair distinct and
     // assert its output carries no array column (bare ids only)
-    val dedups = p.collect {
+    val dedups = (p +: cachedPlans).flatMap(_.collect {
       case agg: org.apache.spark.sql.execution.aggregate.HashAggregateExec
         if agg.groupingExpressions.map(_.name).toSet == Set("a", "b") => agg
-    }
+    })
     assert(dedups.nonEmpty, "expected a distinct on bare (a, b) ids")
     dedups.foreach { agg =>
       assert(!agg.output.exists(_.dataType.typeName.startsWith("array")),

@@ -162,6 +162,32 @@ class StreamingAndOpsSpec extends AnyFunSuite {
     assert(out2.filter(col("url") === "https://a.example/3").count() == 1,
       "a same-url near-identical recrawl must not append a second row")
 
+    // hydration-pruning layout (r6): the staging table is partitioned by
+    // ingest window — each staging micro-batch lands its own partition,
+    // and a window-pruned read touches only that partition's files, so
+    // the per-batch hydration scan is bounded by the batch, not by the
+    // staging history
+    val stagedDir = sink.stripSuffix("/") + "-staged"
+    val windowDirs = new java.io.File(stagedDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_window="))
+    assert(windowDirs.length >= 2,
+      s"two staging batches must land two ingest_window partitions, got: " +
+        windowDirs.map(_.getName).mkString(", "))
+    // inputFiles ignores filters — count files the SCAN actually
+    // selects after partition pruning
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val allFiles = scannedFiles(spark.read.parquet(stagedDir))
+    val oneWindow = windowDirs.map(_.getName.stripPrefix("ingest_window=")).min
+    val prunedFiles = scannedFiles(spark.read.parquet(stagedDir)
+      .filter(col("ingest_window") === oneWindow))
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"window-pruned staging read must touch a strict subset of files " +
+        s"($prunedFiles of $allFiles)")
+
     // the verify mode is pinned per checkpoint: the band state above
     // stores SIGNATURE payloads, so a later run requesting exact-text
     // verification against the same checkpoint must refuse loudly
