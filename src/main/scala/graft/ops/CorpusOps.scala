@@ -588,12 +588,19 @@ object CorpusOps {
         .join(survivors, Seq("doc_id"))
 
       // ---- stage P: pack, stage-level ----
-      // keyed by a SET fingerprint, not a count: the kept set is
-      // non-monotone (a corpus growth can evict a previously-kept doc
-      // whose grown LSH component found a smaller representative while
-      // admitting a new one), so an equal count does not imply an equal
-      // set — a count key would silently reuse a stale packed table
-      stageTable(spark, s"$tableRoot/packed", setFingerprint(kept)) {
+      // keyed by the UPSTREAM-STATE digest (extracted fingerprint ⊕
+      // md5 of the decisions manifest), not by a kept-set fingerprint:
+      // kept is a deterministic function of the extracted content
+      // (survivors recompute deterministically from it) and the
+      // decisions table content (immutable snapshots, exactly named by
+      // the manifest), so equal key ⟹ equal kept set — and the key is
+      // pure METADATA, removing the kept-set aggregation job the
+      // no-op resume used to pay every run (r6; guide §1.2). The key is
+      // strictly FINER than the kept set (a decisions append that
+      // changes no decision recomputes packed — the safe direction;
+      // a count-keyed reuse of a stale table remains impossible).
+      stageTable(spark, s"$tableRoot/packed",
+        upstreamKey(extractedFp, decisionsIo)) {
         packSequencesOf(extracted.join(kept, Seq("doc_id")))
       }
     } finally extracted.unpersist(blocking = false)
@@ -668,6 +675,24 @@ object CorpusOps {
       }
     }
     ccIo.readTable(spark).get
+  }
+
+  /** Metadata-only staleness key for a stage whose output is a
+    * deterministic function of (extracted content, a committed table's
+    * content): the extracted fingerprint mixed with the md5 of the
+    * table's live manifest. Snapshot dirs are immutable and the
+    * manifest names exactly the visible set, so equal manifest ⟺ equal
+    * table content; no Spark job runs.
+    */
+  private def upstreamKey(extractedFp: Long, io: graft.pipeline.TableIO): Long = {
+    val manifest = java.nio.file.Paths.get(io.root, "manifest.json")
+    val bytes =
+      if (java.nio.file.Files.exists(manifest))
+        java.nio.file.Files.readAllBytes(manifest)
+      else Array.empty[Byte]
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val h = java.nio.ByteBuffer.wrap(d).getLong
+    extractedFp * 1000003L ^ h
   }
 
   /** Order-independent fingerprint of a doc_id set: count mixed with
