@@ -636,42 +636,58 @@ object CorpusOps {
     val ccIo = new graft.pipeline.TableIO(s"$tableRoot/cc")
     val extractedIds = extracted.select(col("doc_id"))
     val committed = bandsIo.readTable(spark)
+    // commit ORDER is cc first, bands second, in BOTH branches: labels
+    // always cover at least the committed band set, so a crash between
+    // the two commits leaves a rerun that re-derives the (idempotent)
+    // missing increment against the already-correct labels and
+    // converges — the reverse order would leave bands claiming docs the
+    // labels never solved, which a rerun cannot detect (the "new docs"
+    // probe would come up empty against the grown band table).
     val pureGrowth = committed.exists(c =>
       c.select(col("doc_id")).distinct()
         .join(extractedIds, Seq("doc_id"), "left_anti").isEmpty)
-    if (!pureGrowth) {
-      // full rebuild (first run, or shrink/shift): band everything,
-      // pairs by the keyed self-join (identical subplans → one
-      // ReusedExchange band pass), fresh component solve
-      bandsIo.replaceWith(DedupOps.minhashBandsOf(extracted))
-      val bands = bandsIo.readTable(spark).get
-      val l = bands.select(col("band"), col("band_key"), col("doc_id").as("a"))
-      val r = bands.select(col("band"), col("band_key"), col("doc_id").as("b"))
-      val pairs = l.hint("merge").join(r, Seq("band", "band_key"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"))
-        .distinct()
-      ccIo.replaceWith(DedupOps.connectedComponents(pairs))
+    val priorEdges = ccIo.readTable(spark)
+      .map(_.select(col("doc_id").as("a"), col("component").as("b")))
+    if (!pureGrowth || priorEdges.isEmpty) {
+      // full rebuild (first run, shrink/shift, or bands without labels
+      // — a legacy-order crash remnant): band everything, pairs by the
+      // keyed self-join (identical subplans → one ReusedExchange band
+      // pass), fresh component solve
+      val bands = DedupOps.minhashBandsOf(extracted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val l = bands.select(col("band"), col("band_key"), col("doc_id").as("a"))
+        val r = bands.select(col("band"), col("band_key"), col("doc_id").as("b"))
+        val pairs = l.hint("merge").join(r, Seq("band", "band_key"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"))
+          .distinct()
+        ccIo.replaceWith(DedupOps.connectedComponents(pairs))
+        bandsIo.replaceWith(bands)
+      } finally bands.unpersist(blocking = false)
     } else {
       val newDocs = extracted.join(
         committed.get.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       if (!newDocs.isEmpty) {
-        bandsIo.appendSnapshot(DedupOps.minhashBandsOf(newDocs))
-        val bands = bandsIo.readTable(spark).get
-        // new-vs-ALL candidate pairs off the committed band table (the
-        // new side re-reads its just-committed rows, never re-bands)
-        val newBands = bands.join(newDocs.select(col("doc_id")), Seq("doc_id"))
-        val l = newBands.select(col("band"), col("band_key"), col("doc_id").as("a"))
-        val r = bands.select(col("band"), col("band_key"), col("doc_id").as("b"))
-        val newPairs = l.join(r, Seq("band", "band_key"))
-          .filter(col("a") =!= col("b"))
-          .select(least(col("a"), col("b")).as("a"),
-            greatest(col("a"), col("b")).as("b"))
-          .distinct()
-        val priorEdges = ccIo.readTable(spark)
-          .map(_.select(col("doc_id").as("a"), col("component").as("b")))
-        val edges = priorEdges.map(newPairs.unionByName(_)).getOrElse(newPairs)
-        ccIo.replaceWith(DedupOps.connectedComponents(edges))
+        // the increment's bands stay a DataFrame until cc commits: pairs
+        // derive from (new bands ⋈ committed ∪ new), labels re-solve
+        // seeded by the prior labels, and only then do the new band rows
+        // append — see the commit-order note above
+        val newBands = DedupOps.minhashBandsOf(newDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val allBands = committed.get.unionByName(newBands)
+          val l = newBands.select(col("band"), col("band_key"), col("doc_id").as("a"))
+          val r = allBands.select(col("band"), col("band_key"), col("doc_id").as("b"))
+          val newPairs = l.join(r, Seq("band", "band_key"))
+            .filter(col("a") =!= col("b"))
+            .select(least(col("a"), col("b")).as("a"),
+              greatest(col("a"), col("b")).as("b"))
+            .distinct()
+          ccIo.replaceWith(DedupOps.connectedComponents(
+            newPairs.unionByName(priorEdges.get)))
+          bandsIo.appendSnapshot(newBands)
+        } finally newBands.unpersist(blocking = false)
       }
     }
     ccIo.readTable(spark).get

@@ -229,6 +229,17 @@ class PipelineSpec extends AnyFunSuite {
     // converges byte-identically to a fresh one-shot over the full corpus
     val rootC = java.nio.file.Files.createTempDirectory("graft-e2e-c").toString
     assert(run(rootC) == grown)
+
+    // crash remnants around the incremental dedup commits converge:
+    // (a) bands without labels (a legacy-order write interrupted before
+    // cc) must full-rebuild, never serve missing labels
+    rmrf(s"$rootA/cc"); rmrf(s"$rootA/survivors")
+    rmrf(s"$rootA/packed") // downstream of survivors
+    assert(run(rootA) == grown, "bands-without-cc remnant must converge")
+    // (b) labels without bands (the new commit order's crash window)
+    // must re-derive the increment idempotently
+    rmrf(s"$rootA/bands"); rmrf(s"$rootA/survivors"); rmrf(s"$rootA/packed")
+    assert(run(rootA) == grown, "cc-without-bands remnant must converge")
     // ... including the component labels themselves: the incrementally
     // re-solved cc table equals the one-shot's, row for row
     def ccRows(root: String): Set[String] =
