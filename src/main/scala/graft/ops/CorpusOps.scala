@@ -499,9 +499,9 @@ object CorpusOps {
     *  - `extracted/` — per-URL incremental (the resumeExtract contract):
     *    only pages whose url is uncommitted are parsed;
     *  - `survivors/` — corpus-global (dedup sees every doc), so it is
-    *    stage-level: reused verbatim when its recorded input-set
-    *    fingerprint matches the live extracted table, recomputed
-    *    otherwise;
+    *    stage-level: reused verbatim when its recorded input key (the
+    *    extracted table's manifest digest — metadata-only, no probe
+    *    job) matches the live extracted table, recomputed otherwise;
     *  - `decisions/` — per-doc incremental (the
     *    [[filterPipelineIncremental]] contract): committed keep/drop
     *    decisions are skipped by an anti-join BEFORE any signal
@@ -530,33 +530,53 @@ object CorpusOps {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
 
+    // label each phase's jobs (guide §1.5) — the resume path is many
+    // small driver actions and an unlabeled UI/timeline is unreadable
+    val outerDesc = spark.sparkContext.getLocalProperty("spark.job.description")
+    def labeled[T](desc: String)(f: => T): T = {
+      spark.sparkContext.setJobDescription(desc)
+      try f finally spark.sparkContext.setJobDescription("e2e: setup")
+    }
+    spark.sparkContext.setJobDescription("e2e: setup")
+    try {
+
     // ---- stage E: extraction, per-url incremental ----
     val extractIo = new graft.pipeline.TableIO(s"$tableRoot/extracted")
     // the pending anti-join runs over a urls-only projection (doc_id →
     // ExtractOps.docUrlCol, the documentsAsPages url rule) so committed docs
     // never pay page synthesis and no page body rides the anti-join —
-    // only the pending ids' pages are ever built
-    val pendingIds = extractIo.pending(
-      docs(spark, dir).select(col("doc_id"),
-        ExtractOps.docUrlCol(col("doc_id")).as("url")), "url")
-      .select(col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      // a no-op resume must not grow the manifest by an empty snapshot
-      if (!pendingIds.isEmpty) {
+    // only the pending ids' pages are ever built. The no-op probe is
+    // hasPending (keys-only — half the pending() plan); the full
+    // pending set is derived only when something is actually pending
+    // (a no-op resume must not grow the manifest by an empty snapshot).
+    val livePages = docs(spark, dir).select(col("doc_id"),
+      ExtractOps.docUrlCol(col("doc_id")).as("url"))
+    if (labeled("e2e: extract pending probe")(
+        extractIo.hasPending(livePages, "url"))) {
+      val pendingIds = extractIo.pending(livePages, "url")
+        .select(col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
         val todoDir = docs(spark, dir).join(pendingIds, Seq("doc_id"))
         val todoPages = ExtractOps.documentsAsPagesOf(todoDir)
-        extractIo.appendSnapshot(
-          graft.pipeline.ExtractPipeline.run(todoPages, "utf-8").toDF())
-      }
-    } finally pendingIds.unpersist(blocking = false)
+        labeled("e2e: extract append")(extractIo.appendSnapshot(
+          graft.pipeline.ExtractPipeline.run(todoPages, "utf-8").toDF()))
+      } finally pendingIds.unpersist(blocking = false)
+    }
     val extracted = extractIo.readTable(spark).get
       .select(
         ExtractOps.docIdCol(col("url")).as("doc_id"),
         col("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val extractedFp = setFingerprint(extracted)
+      // metadata-only input key for the downstream stage-freshness checks
+      // (r6, guide §1.2): snapshot dirs are immutable and the manifest
+      // names exactly the visible set, so equal manifest ⟺ equal
+      // extracted content — the content-fingerprint AGGREGATION JOB the
+      // steady-state resume used to pay every run is gone. Strictly
+      // finer than a content fingerprint (a rewrite with identical
+      // content recomputes downstream — the safe direction).
+      val extractedFp = manifestKey(extractIo)
 
       // ---- stage D: dedup survivors, stage-level freshness with
       // INCREMENTAL recompute on corpus growth (verdict r5 next #1) ----
@@ -575,20 +595,28 @@ object CorpusOps {
       val decisionsIo = new graft.pipeline.TableIO(s"$tableRoot/decisions")
       val training = extracted.join(survivors, Seq("doc_id"))
         .filter(col("doc_id") % 11 =!= 0)
-      val todoDocs = decisionsIo.pending(training, "doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        if (!todoDocs.isEmpty)
-          decisionsIo.appendSnapshot(filterPipelineOver(spark, dir, todoDocs))
-      } finally todoDocs.unpersist(blocking = false)
+      // keys-only no-op probe, as in stage E: the doc_id anti-join
+      // prunes the text column out of both scans and skips pending()'s
+      // payload re-join entirely on the steady path
+      if (labeled("e2e: decisions pending probe")(
+          decisionsIo.hasPending(training, "doc_id"))) {
+        val todoDocs = decisionsIo.pending(training, "doc_id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          labeled("e2e: decisions append")(
+            decisionsIo.appendSnapshot(filterPipelineOver(spark, dir, todoDocs)))
+        } finally todoDocs.unpersist(blocking = false)
+      }
       // decisions may carry docs that stopped surviving after a corpus
-      // grew (dedup found a smaller twin) — the survivors join drops them
-      val kept = decisionsIo.readTable(spark).get
+      // grew (dedup found a smaller twin) — the survivors join drops
+      // them. `def`, not `val`: resolving the decisions relation costs a
+      // driver job, and the fresh-packed path never needs it
+      def kept = decisionsIo.readTable(spark).get
         .filter(col("keep")).select(col("doc_id"))
         .join(survivors, Seq("doc_id"))
 
       // ---- stage P: pack, stage-level ----
-      // keyed by the UPSTREAM-STATE digest (extracted fingerprint ⊕
+      // keyed by the UPSTREAM-STATE digest (extracted manifest key ⊕
       // md5 of the decisions manifest), not by a kept-set fingerprint:
       // kept is a deterministic function of the extracted content
       // (survivors recompute deterministically from it) and the
@@ -604,6 +632,7 @@ object CorpusOps {
         packSequencesOf(extracted.join(kept, Seq("doc_id")))
       }
     } finally extracted.unpersist(blocking = false)
+    } finally spark.sparkContext.setJobDescription(outerDesc)
   }
 
   /** Connected-component labels over the extracted corpus' LSH band
@@ -695,7 +724,7 @@ object CorpusOps {
 
   /** Metadata-only staleness key for a stage whose output is a
     * deterministic function of (extracted content, a committed table's
-    * content): the extracted fingerprint mixed with the md5 of the
+    * content): the extracted manifest key mixed with the md5 of the
     * table's live manifest. Snapshot dirs are immutable and the
     * manifest names exactly the visible set, so equal manifest ⟺ equal
     * table content; no Spark job runs.
@@ -711,22 +740,27 @@ object CorpusOps {
     extractedFp * 1000003L ^ h
   }
 
-  /** Order-independent fingerprint of a doc_id set: count mixed with
-    * the XOR of per-id hashes (xxhash64 — internal staleness key only,
-    * never oracle-compared; XOR, not sum, because ANSI mode makes a
-    * long-sum overflow throw, and doc_ids are distinct within a set so
-    * XOR cancellation needs a hash collision). Empty set → 0.
-    * Collisions would need two different kept sets agreeing on both
-    * count and hash XOR — negligible next to the failure mode this
-    * replaces (count-only keys reusing a stale table after an
-    * equal-size set shift).
+  /** Metadata-only content key for a committed table: md5 of the live
+    * manifest as a Long (internal staleness key only, never
+    * oracle-compared). Snapshot dirs are immutable and the manifest
+    * names exactly the visible set, so equal key ⟹ equal table
+    * content; no Spark job runs (r6 — replaces the content-fingerprint
+    * aggregation the steady-state resume paid every run, guide §1.2).
+    * Absent or all-empty table → 0, preserving the old fingerprint's
+    * "empty input ⟺ key 0" convention that [[stageTable]]'s
+    * empty-committed-table case relies on (a nonzero digest is nudged
+    * off the sentinel).
     */
-  private def setFingerprint(df: DataFrame): Long = {
-    val r = df.agg(
-      count(lit(1)).as("c"),
-      coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("h")).head
-    val c = r.getLong(0)
-    if (c == 0L) 0L else c * 1000003L ^ r.getLong(1)
+  private def manifestKey(io: graft.pipeline.TableIO): Long = {
+    val snaps = io.snapshots()
+    if (snaps.isEmpty || snaps.forall(_.rows == 0L)) 0L
+    else {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(io.root, "manifest.json"))
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val h = java.nio.ByteBuffer.wrap(d).getLong
+      if (h == 0L) 1L else h
+    }
   }
 
   /** [[corpusEndToEnd]] with the table root derived from the corpus
@@ -752,28 +786,76 @@ object CorpusOps {
   }
 
   /** Stage-level resume for corpus-global stages: the committed table is
-    * reused verbatim iff the input-set fingerprint recorded at commit
-    * time (`src_fp`, a constant column — [[setFingerprint]]) matches the
-    * live input; any mismatch — missing table, partial upstream state,
-    * grown or shifted input set — recomputes and replaces. A crash
-    * mid-write never corrupts: the manifest install is atomic, so the
-    * rerun sees the previous (or no) commit and recomputes.
+    * reused verbatim iff the input key recorded at commit time matches
+    * the live input; any mismatch — missing table, partial upstream
+    * state, grown or shifted input set — recomputes and replaces. A
+    * crash mid-write never corrupts: the manifest install is atomic, so
+    * the rerun sees the previous (or no) commit and recomputes.
+    *
+    * Freshness is answered from METADATA on the common path (r6, guide
+    * §1.2): a sidecar `.stage-key.json` binds `inputFp` to the exact
+    * manifest bytes it was committed under, so a no-op resume reads two
+    * small files instead of running a `max(src_fp)` aggregation job
+    * over the committed table. The sidecar can never claim false
+    * freshness — it is trusted only when its recorded manifest digest
+    * equals the LIVE manifest bytes (immutable snapshots + exact-set
+    * manifest ⟹ same bytes, same table), and any mismatch (older
+    * sidecar, crash between manifest install and sidecar write, legacy
+    * table) falls back to the original in-table `src_fp` column check,
+    * which still decides correctly. The column stays in every commit,
+    * so the fallback path and older tables keep working.
     */
   private def stageTable(spark: SparkSession, root: String, inputFp: Long)
                         (compute: => DataFrame): DataFrame = {
     val io = new graft.pipeline.TableIO(root)
-    val fresh = io.readTable(spark).exists { df =>
+    val sidecarPath = java.nio.file.Paths.get(root, ".stage-key.json")
+    def liveManifestMd5(): String = {
+      val m = java.nio.file.Paths.get(root, "manifest.json")
+      if (!java.nio.file.Files.exists(m)) ""
+      else java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(m))
+        .map("%02x".format(_)).mkString
+    }
+    def sidecarFresh(): Boolean =
+      java.nio.file.Files.exists(sidecarPath) && {
+        val s = new String(java.nio.file.Files.readAllBytes(sidecarPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val fp = """"input_fp":(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+        val md = """"manifest_md5":"([0-9a-f]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+        fp.contains(inputFp) && md.contains(liveManifestMd5())
+      }
+    def columnFresh(): Boolean = io.readTable(spark).exists { df =>
       // a table written under an older key scheme (no src_fp column)
       // is simply stale — recompute, never crash
       df.columns.contains("src_fp") && {
         val m = df.select(max(col("src_fp"))).head
         // an empty committed table carries no src_fp value; both stages
         // produce empty output iff their input was empty, so it is fresh
-        // exactly when the live input is empty too (fingerprint 0)
+        // exactly when the live input is empty too (key 0)
         if (m.isNullAt(0)) inputFp == 0L else m.getLong(0) == inputFp
       }
     }
-    if (!fresh) io.replaceWith(compute.withColumn("src_fp", lit(inputFp)))
+    val stage = root.substring(root.lastIndexOf('/') + 1)
+    def labeled[T](desc: String)(f: => T): T = {
+      spark.sparkContext.setJobDescription(desc)
+      try f finally spark.sparkContext.setJobDescription(null)
+    }
+    val fresh = io.snapshots().nonEmpty &&
+      (sidecarFresh() || labeled(s"e2e: $stage freshness fallback")(columnFresh()))
+    if (!fresh)
+      labeled(s"e2e: $stage compute")(
+        io.replaceWith(compute.withColumn("src_fp", lit(inputFp))))
+    // (re)install the sidecar for the NOW-live manifest — after the
+    // commit, so a crash anywhere above leaves only the fallback path
+    // (correct, just one job slower). Atomic move: a reader never sees
+    // a torn sidecar.
+    val tmp = java.nio.file.Paths.get(root, ".stage-key.tmp")
+    java.nio.file.Files.write(tmp,
+      s"""{"input_fp":$inputFp,"manifest_md5":"${liveManifestMd5()}"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, sidecarPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     io.readTable(spark).get.drop("src_fp")
   }
 }

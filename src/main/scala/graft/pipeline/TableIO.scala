@@ -23,6 +23,23 @@ final class TableIO(val root: String) {
   import TableIO.Snapshot
   private val manifestPath = Paths.get(root, "manifest.json")
 
+  /** Base64 of the READ-BACK schema json of a just-written snapshot —
+    * the exact schema inference would produce for those files, recorded
+    * in the manifest so [[readTable]] can skip the per-relation
+    * inference job (schema evolution across snapshots falls back).
+    */
+  private def schema64Of(written: DataFrame): String =
+    java.util.Base64.getEncoder.encodeToString(
+      written.schema.json.getBytes(StandardCharsets.UTF_8))
+
+  /** One manifest line; `schema64` is last so the fixed-order regex
+    * parse of the leading fields is unaffected (legacy lines simply
+    * lack it).
+    */
+  private def manifestLine(s: Snapshot): String =
+    if (s.schema64.isEmpty) s"""{"id":${s.id},"dir":"${s.dir}","rows":${s.rows}}"""
+    else s"""{"id":${s.id},"dir":"${s.dir}","rows":${s.rows},"schema64":"${s.schema64}"}"""
+
   /** Every commit also files a copy of the live manifest under
     * `manifests/manifest-<id>.json` — an append-only history that makes
     * any past snapshot restorable ([[rollbackTo]]), since the snapshot
@@ -127,17 +144,57 @@ final class TableIO(val root: String) {
         val id = """"id":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
         val dir = """"dir":"([^"]+)"""".r.findFirstMatchIn(line).get.group(1)
         val rows = """"rows":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
-        Snapshot(id, dir, rows)
+        val schema64 = """"schema64":"([A-Za-z0-9+/=]*)"""".r
+          .findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+        Snapshot(id, dir, rows, schema64)
       }
   }
+
+  /** Single-entry relation memo for [[readTable]]: resolving a parquet
+    * relation costs a driver job (file listing + schema inference), and
+    * resume paths read the same table several times per run (probe,
+    * payload, freshness). Keyed by the LIVE manifest bytes — snapshots
+    * are immutable and the manifest names exactly the visible set, so
+    * equal manifest ⟹ the cached plan still reads the correct files;
+    * any commit/rollback changes the manifest and misses the cache.
+    * This memoizes plan METADATA within one TableIO instance, never
+    * query results (r6, guide §1.2).
+    */
+  @volatile private var relCache: Option[(Option[String], SparkSession, DataFrame)] = None
 
   /** All committed data across snapshots (empty DataFrame with the
     * given schema if nothing committed yet).
     */
   def readTable(spark: SparkSession): Option[DataFrame] = {
-    val snaps = snapshots()
-    if (snaps.isEmpty) None
-    else Some(spark.read.parquet(snaps.map(s => s"$root/${s.dir}"): _*))
+    val live = manifestBase()
+    relCache match {
+      case Some((m, s, df)) if m == live && (s eq spark) => Some(df)
+      case _ =>
+        val snaps = snapshots()
+        if (snaps.isEmpty) None
+        else {
+          // commits record the written files' read-back schema in the
+          // manifest (Iceberg-style table metadata, guide §6): when
+          // every visible snapshot agrees on it, the read skips parquet
+          // schema inference — which costs a Spark job per relation
+          // resolution. Any legacy or disagreeing snapshot falls back
+          // to plain inference.
+          val paths = snaps.map(s => s"$root/${s.dir}")
+          val schema64s = snaps.map(_.schema64).distinct
+          val df = schema64s match {
+            case Seq(s64) if s64.nonEmpty =>
+              val json = new String(java.util.Base64.getDecoder.decode(s64),
+                StandardCharsets.UTF_8)
+              spark.read
+                .schema(org.apache.spark.sql.types.DataType.fromJson(json)
+                  .asInstanceOf[org.apache.spark.sql.types.StructType])
+                .parquet(paths: _*)
+            case _ => spark.read.parquet(paths: _*)
+          }
+          relCache = Some((live, spark, df))
+          Some(df)
+        }
+    }
   }
 
   /** Append `df` as a new snapshot; manifest write is atomic (tmp +
@@ -156,12 +213,12 @@ final class TableIO(val root: String) {
     // path task failure). reserveDir guarantees the dir was just created
     // empty, so Append lands exactly this write's files.
     df.write.mode(SaveMode.Append).parquet(s"$root/$dir")
-    val rows = df.sparkSession.read.parquet(s"$root/$dir").count()
-    val line = s"""{"id":$id,"dir":"$dir","rows":$rows}"""
-    val all = (prev.map(s => s"""{"id":${s.id},"dir":"${s.dir}","rows":${s.rows}}""") :+ line)
-      .mkString("", "\n", "\n")
+    val written = df.sparkSession.read.parquet(s"$root/$dir")
+    val rows = written.count()
+    val snap = Snapshot(id, dir, rows, schema64Of(written))
+    val all = (prev :+ snap).map(manifestLine).mkString("", "\n", "\n")
     commitManifest(all, id, base)
-    Snapshot(id, dir, rows)
+    snap
   }
 
   /** Input rows not yet present in the committed table, by key column.
@@ -190,6 +247,28 @@ final class TableIO(val root: String) {
     * [[graft.ops.CorpusOps.corpusEndToEnd]] stage-E shape, via
     * [[graft.ops.ExtractOps.docUrlCol]]).
     */
+  /** True iff [[pending]] over `input` has any row — answered from a
+    * KEYS-ONLY anti-join (both scans prune to the key column), never
+    * re-attaching the payload: the no-op resume's common probe carries
+    * half of [[pending]]'s plan (r6, guide §1.2 — don't build what the
+    * steady path throws away). No `.distinct()` on either side: an
+    * anti-join's emptiness never needs deduped inputs, and resume keys
+    * are unique per side anyway, so each distinct was a pure extra
+    * exchange + aggregation (guide §2.4 "a distinct on data that is
+    * already unique"). Equivalence with `pending(...).isEmpty`: a
+    * null-key input row is always pending there, and the anti join
+    * here KEEPS null keys (a null key equals nothing, so it never
+    * matches a committed row), so both sides agree on emptiness.
+    */
+  def hasPending(input: DataFrame, keyCol: String): Boolean =
+    readTable(input.sparkSession) match {
+      case None => !input.select(col(keyCol)).isEmpty
+      case Some(committed) =>
+        !input.select(col(keyCol))
+          .join(committed.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .isEmpty
+    }
+
   def pending(input: DataFrame, keyCol: String): DataFrame =
     readTable(input.sparkSession) match {
       case None => input
@@ -233,9 +312,11 @@ final class TableIO(val root: String) {
     // snapshots. Append, not Overwrite — see appendSnapshot: the
     // reserved dir is the reservation marker and must never be deleted.
     df.write.mode(SaveMode.Append).parquet(s"$root/$dir")
-    val rows = df.sparkSession.read.parquet(s"$root/$dir").count()
-    commitManifest(s"""{"id":$id,"dir":"$dir","rows":$rows}""" + "\n", id, base)
-    Snapshot(id, dir, rows)
+    val written = df.sparkSession.read.parquet(s"$root/$dir")
+    val rows = written.count()
+    val snap = Snapshot(id, dir, rows, schema64Of(written))
+    commitManifest(manifestLine(snap) + "\n", id, base)
+    snap
   }
 
   /** Scoped delete — the `delete_by_report` / `delete_by_environment`
@@ -286,7 +367,8 @@ final class TableIO(val root: String) {
 }
 
 object TableIO {
-  final case class Snapshot(id: Long, dir: String, rows: Long)
+  final case class Snapshot(id: Long, dir: String, rows: Long,
+                            schema64: String = "")
 
   /** Resumable run: extract + commit only pages whose url is not yet in
     * the output table. Returns the number of newly committed rows.

@@ -14,8 +14,14 @@ object QueryProfile {
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          synchronized { if (record)
-            events += ((s"start ${j.jobId}", (System.nanoTime() - t0) / 1e9)) }
+          synchronized { if (record) {
+            val p = Option(j.properties)
+            val site = p.flatMap(pp => Option(pp.getProperty("spark.job.description"))
+                .orElse(Option(pp.getProperty("callSite.short")))
+                .orElse(Option(pp.getProperty("spark.callSite.short"))))
+              .getOrElse(p.map(_.stringPropertyNames().toString).getOrElse("?"))
+            events += ((s"start ${j.jobId} [$site]", (System.nanoTime() - t0) / 1e9))
+          } }
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
           synchronized { if (record)
             events += ((s"end   ${j.jobId}", (System.nanoTime() - t0) / 1e9)) }
