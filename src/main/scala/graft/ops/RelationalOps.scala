@@ -16,10 +16,11 @@ object RelationalOps {
 
   /** A9 summary: distinct entity counts + relationship totals. */
   def summaryCounts(spark: SparkSession, dir: String): DataFrame = {
-    // spread before the distinct-count Expand (Par.spread, guide §2.5):
-    // the ×3 row expansion + partial aggregation is the per-row cost
-    // and a single-file table scans as one split (no-op at scale)
-    val li = Par.spread(t(spark, dir, "lineitem"), dir, "lineitem", "l_orderkey")
+    // NO Par.spread (r6 A/B, 0.31 s vs 0.51 s at sf0.1/32c): the ×3
+    // Expand feeds a map-side partial distinct aggregation, so the
+    // exchange carries only partial states — a spread shuffles every
+    // raw row first from the same single-split map task (guide §2.3)
+    val li = t(spark, dir, "lineitem")
     val o = t(spark, dir, "orders")
     val c = t(spark, dir, "customer")
     val p = t(spark, dir, "part")
@@ -36,10 +37,11 @@ object RelationalOps {
 
   /** A10 integrity: duplicate-key scan (keys appearing more than once). */
   def duplicateIdCheck(spark: SparkSession, dir: String): DataFrame =
-    // spread ON THE GROUPING KEY: the repartition satisfies the
-    // aggregation's required distribution, so no second exchange is
-    // added — the single-split scan's per-row agg work parallelizes
-    Par.spread(t(spark, dir, "lineitem"), dir, "lineitem", "l_orderkey")
+    // NO Par.spread (r6 A/B, 0.35 s vs 0.39 s at sf0.1/32c): even with
+    // the spread keyed on the grouping key (one exchange either way),
+    // the partial aggregation BEFORE the exchange shuffles ~4× fewer
+    // rows than the raw-row spread (guide §2.3)
+    t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
@@ -78,7 +80,10 @@ object RelationalOps {
     * as two broadcast left joins + coalesce.
     */
   def lookupCascade(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Par.spread(t(spark, dir, "events"), dir, "events", "event_id")
+    // NO Par.spread (r6 A/B, 0.26 s vs 0.34 s at sf0.1/32c): both joins
+    // are broadcast, so the probe side needs no distribution — a spread
+    // adds a full exchange of raw rows to parallelize two hash lookups
+    val ev = t(spark, dir, "events")
     val cust = t(spark, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_name").as("cust_name"))
     val supp = t(spark, dir, "supplier")
@@ -165,7 +170,13 @@ object RelationalOps {
         col("n_events"), col("sum_value"))
 
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
-    Par.spread(t(spark, dir, "lineitem"), dir, "lineitem", "l_orderkey")
+    // NO Par.spread (r6 A/B, 0.19 s vs 0.42 s at sf0.1/32c): the
+    // per-row work is trivial arithmetic folded into the map-side
+    // partial aggregation, so only ~6 partial rows cross the exchange
+    // (guide §2.3 "aggregate before you shuffle") — a spread would
+    // shuffle every raw row, and its map side is the same single-split
+    // scan task the spread was meant to relieve
+    t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).cast("double").as("sum_qty"),
@@ -209,7 +220,10 @@ object RelationalOps {
     * against small dims, dims broadcast).
     */
   def joinAgg(spark: SparkSession, dir: String): DataFrame = {
-    val li = Par.spread(t(spark, dir, "lineitem"), dir, "lineitem", "l_orderkey")
+    // NO Par.spread (r6 A/B, 0.57 s vs 0.62 s at sf0.1/32c): every join
+    // is broadcast and the aggregation partials map-side, so a probe
+    // spread only adds a raw-row exchange (guide §2.3/§2.4)
+    val li = t(spark, dir, "lineitem")
     val o = t(spark, dir, "orders")
     val c = t(spark, dir, "customer")
     val n = t(spark, dir, "nation")
