@@ -336,8 +336,16 @@ object CorpusOps {
     * size. Output: (doc_id, n_shared) per contaminated doc.
     */
   def decontaminate(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    // NO Par.spread on either side in the standalone query (r6 A/B,
+    // 0.61/0.63 s vs 0.68/0.83 s across two calm sessions at
+    // sf0.1/32c): the explode feeds a map-side partial aggregation and
+    // the broadcast-joined gram probe is cheap per row, so the two
+    // added exchanges cost more than the parallelism buys here. The
+    // chained pipeline path (filterPipelineOver) still spreads its
+    // training side — there the scan fans out into langid/quality/
+    // bigram work where the A/B favors the spread.
     decontaminateOf(spark, dir,
-      Par.spread(docs(spark, dir).filter(col("doc_id") % 11 =!= 0), dir), k)
+      docs(spark, dir).filter(col("doc_id") % 11 =!= 0), k)
 
   /** [[decontaminate]] with the TRAINING side supplied by the caller
     * (the incremental-resume hook); the benchmark reference slice is
@@ -350,9 +358,10 @@ object CorpusOps {
     def grams(d: DataFrame) = d
       .select(col("doc_id"), split(col("text"), " ").as("ws"), col("text"))
       .select(col("doc_id"), explode(wordGrams(col("ws"), col("text"), k)).as("gram"))
-    // the benchmark slice pays the same single-split explode — spread it
-    val bench = grams(Par.spread(
-        docs(spark, dir).filter(col("doc_id") % 11 === 0), dir))
+    // benchmark slice UNspread (r6 A/B): it explodes only ~1/11 of the
+    // corpus ahead of a distinct partial agg — the exchange outweighed
+    // the parallelism in both calm sessions
+    val bench = grams(docs(spark, dir).filter(col("doc_id") % 11 === 0))
       .select(col("gram")).distinct()
     grams(training)
       .join(broadcast(bench), Seq("gram"))

@@ -147,8 +147,13 @@ object TextAnalysisOps {
     */
   def unigramXent(spark: SparkSession, dir: String): DataFrame = {
     // ONE corpus scan: vocabulary counts roll up from the per-doc
-    // aggregation instead of re-exploding the token stream
-    val perDoc = Par.spread(docs(spark, dir), dir)
+    // aggregation instead of re-exploding the token stream.
+    // NO Par.spread (r6 A/B, 0.35/0.43 s vs 0.42/0.63 s across two calm
+    // sessions at sf0.1/32c): the explode feeds a map-side partial
+    // aggregation whose exchange both branches reuse — a spread adds a
+    // raw-row exchange upstream of the shared subtree and delays every
+    // stage behind it (guide §2.3)
+    val perDoc = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("cwd"))
