@@ -15,7 +15,7 @@ import org.apache.spark.sql.expressions.Window
 object CorpusOps {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
 
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "[0-9]{3}-[0-9]{4}"

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
 
   final val NumHashes = 8
   final val BandSize = 2 // → 4 bands
@@ -419,7 +419,7 @@ object DedupOps {
     */
   def embeddingNearDups(spark: SparkSession, dir: String,
                         minCos: Double = 0.4): DataFrame = {
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e = Tables.read(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         SimilarityOps.norm(col("embedding")).as("n"))
     SimilarityOps.bandedSrpPairsShared(spark, dir)

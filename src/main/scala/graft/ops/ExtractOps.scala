@@ -58,7 +58,7 @@ object ExtractOps {
     */
   def documentsAsPages(spark: SparkSession, dir: String): Dataset[PageRow] =
     documentsAsPagesOf(graft.ops.Par.spread(
-      spark.read.parquet(s"$dir/documents.parquet"), dir))
+      Tables.read(spark, dir, "documents"), dir))
 
   /** [[documentsAsPages]] over a caller-supplied documents slice — the
     * incremental hook: a resume synthesizes pages ONLY for pending
@@ -107,7 +107,7 @@ object ExtractOps {
   def pdfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pages = graft.ops.Par.spread(
-        spark.read.parquet(s"$dir/documents.parquet"), dir)
+        Tables.read(spark, dir, "documents"), dir)
       .select(col("doc_id"), col("text"), col("lang"))
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
@@ -154,7 +154,7 @@ object ExtractOps {
     */
   def spansRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.ops.Par.spread(spark.read.parquet(s"$dir/documents.parquet"), dir)
+    graft.ops.Par.spread(Tables.read(spark, dir, "documents"), dir)
       .select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)]
       .map { case (id, text, source) =>

@@ -50,7 +50,7 @@ object MultimodalOps {
     // spread BEFORE the codec maps (Par.spread, guide §2.5): encode +
     // decode are the per-row cost and a single-file corpus scans as one
     // split — one task doing all the codec work (no-op at scale)
-    Par.spread(spark.read.parquet(s"$dir/documents.parquet"), dir)
+    Par.spread(Tables.read(spark, dir, "documents"), dir)
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // in-memory PNG encode
@@ -173,7 +173,7 @@ object MultimodalOps {
   def imagesFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     // spread before the codec maps — see mediaFromDocuments
-    Par.spread(spark.read.parquet(s"$dir/documents.parquet"), dir)
+    Par.spread(Tables.read(spark, dir, "documents"), dir)
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // in-memory encode too
@@ -315,7 +315,7 @@ object MultimodalOps {
 
   def audioFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, "audio", genWav(id))))
   }
@@ -495,7 +495,7 @@ object MultimodalOps {
 
   def videosFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, "video", genAvi(id))))
   }

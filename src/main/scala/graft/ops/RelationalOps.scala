@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Window
 object RelationalOps {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.read(spark, dir, name)
 
   /** A9 summary: distinct entity counts + relationship totals. */
   def summaryCounts(spark: SparkSession, dir: String): DataFrame = {

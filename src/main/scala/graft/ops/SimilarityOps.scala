@@ -19,7 +19,7 @@ import org.apache.spark.sql.expressions.Window
 object SimilarityOps {
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    Tables.read(spark, dir, "embeddings")
 
   /** Row count of the embeddings table, computed once per (application,
     * corpus file-status identity). The count only parameterizes PLAN

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysisOps {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents")
 
   /** Count non-overlapping occurrences of a space-delimited marker via
     * length difference (portable to any SQL engine). Shared with
