@@ -277,7 +277,7 @@ object RelationalOps {
           new org.apache.hadoop.fs.Path(path)))
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // another JVM won
     }
-    spark.read.parquet(path)
+    Tables.readPath(spark, path)
       .filter(col("event_type") === "purchase")
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"),

@@ -43,8 +43,16 @@ object Tables {
   /** `spark.read.parquet(dir/name.parquet)` with the inference job paid
     * once per (application, table identity) instead of per query.
     */
-  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    readPath(spark, s"$dir/$name.parquet")
+
+  /** Same memo for an arbitrary parquet dir — the derived-layout reads
+    * (partitioned tmp copies published by rename). Partition-column
+    * DISCOVERY still runs (listing, driver-side); only the footer
+    * schema-inference job is skipped, and the cached schema includes
+    * the partition columns inference appended.
+    */
+  def readPath(spark: SparkSession, path: String): DataFrame = {
     schemaCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
     val key = (spark.sparkContext.applicationId, path, statusTag(spark, path))
     val schema = schemaCache.computeIfAbsent(key,
