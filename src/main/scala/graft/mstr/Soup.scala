@@ -20,9 +20,41 @@ final class Soup(val t: TagTree) {
   def findFirstElem(nm: String, from: Int = 0, until: Int = -1): Int =
     t.findElem(from, if (until < 0) n else until, nm)
 
+  /** Lazily-built first-occurrence index over `<a name=...>`: the
+    * giant-hot-page profile (MstrHotSkewBench, BASELINE.md round-5
+    * salt section) showed the per-salt straggler floor was NOT the
+    * parse but the per-request full-document [[findAnchor]] scans —
+    * stage D runs 2-3 of them per request, so a 12 MiB page serving
+    * thousands of requests per salt paid O(requests × nodes). One
+    * O(nodes) build amortizes them all to O(1). First-put-wins ⟹
+    * lookup equals the scan's first-match-in-document-order result for
+    * every non-null name (incl. ""). @volatile for safe publication:
+    * broadcast index soups are shared across executor task threads —
+    * a race at worst builds the (identical) map twice.
+    */
+  @volatile private var anchorIdx: java.util.HashMap[String, Integer] = null
+
   /** soup.find('a', {'name': anchor}) */
-  def findAnchor(anchorName: String): Int =
-    t.findFirst(0, n)(i => t.isElem(i) && t.name(i) == "a" && t.attr(i, "name") == anchorName)
+  def findAnchor(anchorName: String): Int = {
+    if (anchorName == null)
+      return t.findFirst(0, n)(i =>
+        t.isElem(i) && t.name(i) == "a" && t.attr(i, "name") == null)
+    var m = anchorIdx
+    if (m == null) {
+      m = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < n) {
+        if (t.isElem(i) && t.name(i) == "a") {
+          val v = t.attr(i, "name")
+          if (v != null) m.putIfAbsent(v, i)
+        }
+        i += 1
+      }
+      anchorIdx = m
+    }
+    val r = m.get(anchorName)
+    if (r == null) -1 else r.intValue()
+  }
 
   /** element.find_next(name) — first match strictly after pre-order i. */
   def findNext(i: Int, nm: String): Int =

@@ -130,4 +130,28 @@ class TextOpsSpec extends AnyFunSuite {
     val bad = Array[Byte](0x61, 0xff.toByte, 0x62)
     assert(TextOps.decodeUtf8Replace(bad) == "a�b")
   }
+
+  test("findAnchor index: first-match-in-document-order scan semantics") {
+    import graft.mstr.Soup
+    val s = Soup.parse(
+      "<html><body>" +
+        "<a href='x.html'>no name attr</a>" +
+        "<a name=''>empty name</a>" +
+        "<a name='dup'>first dup</a>" +
+        "<table><tr><td><a name='nested'>in table</a></td></tr></table>" +
+        "<a name='dup'>second dup</a>" +
+        "</body></html>")
+    // reference scan semantics the lazy index must reproduce exactly:
+    def scan(nm: String): Int =
+      s.t.findFirst(0, s.n)(i =>
+        s.t.isElem(i) && s.t.name(i) == "a" && s.t.attr(i, "name") == nm)
+    for (nm <- Seq("dup", "nested", "", "missing")) {
+      assert(s.findAnchor(nm) == scan(nm), s"anchor '$nm'")
+    }
+    // duplicate names resolve to the FIRST occurrence (first-put-wins)
+    assert(s.textStrip(s.findAnchor("dup")) == "first dup")
+    assert(s.findAnchor("missing") == -1)
+    // repeated lookups (index path) agree with the first (build) call
+    assert(s.findAnchor("dup") == scan("dup"))
+  }
 }
