@@ -221,39 +221,61 @@ object DedupOps {
     // small); in an iterative loop that fixed orchestration dominates —
     // the per-round tables are label/edge-scale and the shuffle width
     // is already the session's. Scope AQE off for the loop.
-    val spark = rawPairs.sparkSession
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try connectedComponentsImpl(rawPairs, labelRounds)
-    finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
-    }
-  }
-
-  private def connectedComponentsImpl(rawPairs: DataFrame,
-                                      labelRounds: Int): DataFrame = {
+    //
+    // The PAIR-TABLE SCAN is planned BEFORE the flags flip (round 6):
+    // Dataset.rdd fixes the physical plan at call time, and at corpus
+    // scale the pair projection is the one leg here whose bytes grow
+    // with the corpus — it must keep whole-stage codegen rather than
+    // inherit the loop's interpreted scope (an interpreted scan of a
+    // billion-pair table is a multi-x CPU regression the loop flags
+    // were never aimed at). Planning only — no job runs here; the
+    // RDD-layer loop below never re-plans it. Top-level plan is
+    // exchange-free (filter+cast over the shared pair cache), so AQE
+    // adds no wrapper/jobs either way.
     val spark = rawPairs.sparkSession
     import spark.implicits._
-    // self-loops carry no connectivity (and star contraction drops
-    // them) — filter up front so both paths emit the same node set
-    val pairs = rawPairs.filter(col("a") =!= col("b"))
-
-    // Only exactly-Long-representable ids can ride the Long-typed label
-    // loop below: fractional types (double/float, decimal with scale)
-    // would truncate under cast("long"), silently merging distinct
-    // nodes like 1.2 and 1.7. Star contraction is type-generic over any
-    // ordered id and stays correct (just O(log^2 n) rounds instead of
-    // O(diameter)) — route strings AND non-integral numerics there.
     import org.apache.spark.sql.types._
     val integralIds = Seq("a", "b").forall(c => rawPairs.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case d: DecimalType => d.scale == 0 && d.precision <= 18
       case _ => false
     })
-    if (!integralIds) return connectedComponentsStar(pairs)
+    // self-loops carry no connectivity (and star contraction drops
+    // them) — filter up front so both paths emit the same node set
+    val pairs = rawPairs.filter(col("a") =!= col("b"))
+    val prs: Option[org.apache.spark.rdd.RDD[(Long, Long)]] =
+      if (integralIds)
+        Some(pairs.select(col("a").cast("long"), col("b").cast("long"))
+          .as[(Long, Long)].rdd)
+      else None
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try connectedComponentsImpl(pairs, prs, labelRounds)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+    }
+  }
+
+  /** @param pairs self-loop-filtered pair table (both paths)
+    * @param prsOpt the compact (Long, Long) pair RDD, planned by the
+    *   caller OUTSIDE the loop's codegen/AQE-off scope; None routes to
+    *   star contraction. Only exactly-Long-representable ids can ride
+    *   the Long-typed label loop: fractional types (double/float,
+    *   decimal with scale) would truncate under cast("long"), silently
+    *   merging distinct nodes like 1.2 and 1.7. Star contraction is
+    *   type-generic over any ordered id and stays correct (just
+    *   O(log^2 n) rounds instead of O(diameter)) — the caller routes
+    *   strings AND non-integral numerics there.
+    */
+  private def connectedComponentsImpl(pairs: DataFrame,
+                                      prsOpt: Option[org.apache.spark.rdd.RDD[(Long, Long)]],
+                                      labelRounds: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    if (prsOpt.isEmpty) return connectedComponentsStar(pairs)
 
     // The bounded min-label loop runs on the RDD layer with ONE
     // explicit hash partitioning reused every round: edges are
@@ -270,8 +292,7 @@ object DedupOps {
     val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val part = new org.apache.spark.HashPartitioner(width)
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val prs = pairs.select(col("a").cast("long"), col("b").cast("long"))
-      .as[(Long, Long)].rdd
+    val prs = prsOpt.get // planned pre-scope by the caller (codegen'd scan)
     val edges = prs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(part).persist(sl)
 
