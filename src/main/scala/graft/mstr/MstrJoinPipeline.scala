@@ -143,20 +143,35 @@ object MstrJoinPipeline {
     val KMetric = 3 // MetricReq
     val KFact = 4   // FactReq
 
+    // Payload wire format: Spark's KryoSerializer (Chill Scala
+    // registrars — Options/Lists/case classes round-trip without
+    // registration). java.io.ObjectOutputStream wrote a stream header
+    // + full class descriptors PER FRAGMENT, and a run moves ~500k
+    // fragment/request payloads through of()/read() — the per-object
+    // setup cost was a measurable slice of every stage and of the
+    // assembly phase (r6 A/B in OPTIMIZATION_r06.md). The blob is
+    // intra-run wire data only (never persisted, never hashed), so
+    // the format is free to change; SerializerInstance is not
+    // thread-safe, hence one per task thread.
+    @transient private lazy val kryo =
+      new org.apache.spark.serializer.KryoSerializer(
+        new org.apache.spark.SparkConf(false))
+    @transient private lazy val ser =
+      ThreadLocal.withInitial[org.apache.spark.serializer.SerializerInstance](
+        () => kryo.newInstance())
+
     def of(reportId: String, payload: Serializable): Frag =
       tagged(reportId, KFrag, payload)
     def req(kind: Int, file: String, payload: Serializable): Frag =
       tagged(file, kind, payload)
     private def tagged(key: String, kind: Int, payload: Serializable): Frag = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val oos = new java.io.ObjectOutputStream(bos)
-      oos.writeObject(payload)
-      oos.close()
-      Frag(key, kind, bos.toByteArray)
+      val bb = ser.get().serialize[AnyRef](payload.asInstanceOf[AnyRef])
+      val out = new Array[Byte](bb.remaining())
+      bb.get(out)
+      Frag(key, kind, out)
     }
     def read(f: Frag): AnyRef =
-      new java.io.ObjectInputStream(
-        new java.io.ByteArrayInputStream(f.blob)).readObject()
+      ser.get().deserialize[AnyRef](java.nio.ByteBuffer.wrap(f.blob))
   }
 
   /** Executor-side index handle: ships the raw index HTML and parses
