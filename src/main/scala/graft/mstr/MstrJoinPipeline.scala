@@ -143,35 +143,168 @@ object MstrJoinPipeline {
     val KMetric = 3 // MetricReq
     val KFact = 4   // FactReq
 
-    // Payload wire format: Spark's KryoSerializer (Chill Scala
-    // registrars — Options/Lists/case classes round-trip without
-    // registration). java.io.ObjectOutputStream wrote a stream header
-    // + full class descriptors PER FRAGMENT, and a run moves ~500k
-    // fragment/request payloads through of()/read() — the per-object
-    // setup cost was a measurable slice of every stage and of the
-    // assembly phase (r6 A/B in OPTIMIZATION_r06.md). The blob is
+    // Payload wire format: a hand-rolled DataOutput codec over the
+    // NINE payload types (r6). java.io.ObjectOutputStream wrote a
+    // stream header + full class descriptors PER FRAGMENT, and a run
+    // moves ~500k fragment/request payloads through of()/read() — the
+    // per-object setup cost was a measurable slice of every stage and
+    // of the assembly phase (A/B in OPTIMIZATION_r06.md). A reflective
+    // framework replacement (Spark KryoSerializer) matched the speed
+    // but produced a rare, unreproducible blob corruption under the
+    // 50k-report load; this codec has NO shared mutable state, no
+    // class names in the stream, no reflection — every blob is
+    // self-contained bytes, auditable field by field. The blob is
     // intra-run wire data only (never persisted, never hashed), so
-    // the format is free to change; SerializerInstance is not
-    // thread-safe, hence one per task thread.
-    @transient private lazy val kryo =
-      new org.apache.spark.serializer.KryoSerializer(
-        new org.apache.spark.SparkConf(false))
-    @transient private lazy val ser =
-      ThreadLocal.withInitial[org.apache.spark.serializer.SerializerInstance](
-        () => kryo.newInstance())
+    // the format is free to change. An unknown payload type fails
+    // LOUDLY at write time.
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+      DataInputStream, DataOutputStream}
+    import java.nio.charset.StandardCharsets.UTF_8
+
+    private def ws(o: DataOutputStream, s: String): Unit =
+      if (s == null) o.writeInt(-1)
+      else {
+        val b = s.getBytes(UTF_8)
+        o.writeInt(b.length); o.write(b)
+      }
+    private def rs(i: DataInputStream): String = {
+      val n = i.readInt()
+      if (n < 0) null
+      else {
+        val b = new Array[Byte](n); i.readFully(b); new String(b, UTF_8)
+      }
+    }
+    private def wo(o: DataOutputStream, s: Option[String]): Unit = s match {
+      case Some(v) => o.writeBoolean(true); ws(o, v)
+      case None    => o.writeBoolean(false)
+    }
+    private def ro(i: DataInputStream): Option[String] =
+      if (i.readBoolean()) Some(rs(i)) else None
+    private def wis(o: DataOutputStream, xs: Seq[Int]): Unit = {
+      o.writeInt(xs.length); xs.foreach(o.writeInt)
+    }
+    private def ris(i: DataInputStream): List[Int] =
+      List.fill(i.readInt())(i.readInt())
+    private def wss(o: DataOutputStream, xs: Seq[String]): Unit = {
+      o.writeInt(xs.length); xs.foreach(ws(o, _))
+    }
+    private def rss(i: DataInputStream): List[String] =
+      List.fill(i.readInt())(rs(i))
+    private def wlt(o: DataOutputStream, lt: LogicTable): Unit = {
+      ws(o, lt.name); ws(o, lt.id); wo(o, lt.filePath); wo(o, lt.columnName)
+    }
+    private def rlt(i: DataInputStream): LogicTable =
+      LogicTable(rs(i), rs(i), ro(i), ro(i))
+    private def wlts(o: DataOutputStream, xs: Seq[LogicTable]): Unit = {
+      o.writeInt(xs.length); xs.foreach(wlt(o, _))
+    }
+    private def rlts(i: DataInputStream): List[LogicTable] =
+      List.fill(i.readInt())(rlt(i))
+
+    private def encode(o: DataOutputStream, p: AnyRef): Unit = p match {
+      case DsReq(rid, ord, nm, id, dsf, f, src) =>
+        o.writeByte(1); ws(o, rid); o.writeInt(ord); ws(o, nm); ws(o, id)
+        ws(o, dsf); ws(o, f); ws(o, src)
+      case AttrReq(rid, dso, ord, off, nds, f, a, id) =>
+        o.writeByte(2); ws(o, rid); o.writeInt(dso); o.writeInt(ord)
+        ws(o, off); ws(o, nds); ws(o, f); ws(o, a); ws(o, id)
+      case MetricReq(rid, dso, pos, id, nm, f, a, idOpt, path) =>
+        o.writeByte(3); ws(o, rid); o.writeInt(dso); wis(o, pos); ws(o, id)
+        ws(o, nm); ws(o, f); ws(o, a); wo(o, idOpt); wss(o, path)
+      case FactReq(rid, dso, pos, f, a) =>
+        o.writeByte(4); ws(o, rid); o.writeInt(dso); wis(o, pos); ws(o, f); ws(o, a)
+      case SkelFrag(nm, fp, owner, acl) =>
+        o.writeByte(5); ws(o, nm); ws(o, fp)
+        owner match {
+          case Some(ow) =>
+            o.writeBoolean(true)
+            ws(o, ow.name); ws(o, ow.id); ws(o, ow.filePath)
+            wo(o, ow.fullname); wo(o, ow.access)
+          case None => o.writeBoolean(false)
+        }
+        o.writeInt(acl.length)
+        acl.foreach { e =>
+          ws(o, e.name); ws(o, e.access); wo(o, e.fullname); wo(o, e.id)
+          wo(o, e.filePath)
+        }
+      case DsFrag(dso, nm, id, fp, ao, g) =>
+        o.writeByte(6); o.writeInt(dso); ws(o, nm); ws(o, id); ws(o, fp)
+        wo(o, ao); wo(o, g)
+      case AttrFrag(dso, ord, at) =>
+        o.writeByte(7); o.writeInt(dso); o.writeInt(ord)
+        ws(o, at.name); ws(o, at.nameOnDataset); ws(o, at.id); ws(o, at.filePath)
+        ws(o, at.datasetId); wo(o, at.applicationSchema)
+        o.writeInt(at.formularios.length)
+        at.formularios.foreach { fm =>
+          ws(o, fm.id); ws(o, fm.name); wlts(o, fm.logicTables)
+        }
+      case MetricNodeFrag(dso, pos, nm, id, fp, tipo, ao, formula, fn, fact) =>
+        o.writeByte(8); o.writeInt(dso); wis(o, pos); ws(o, nm); ws(o, id)
+        ws(o, fp); ws(o, tipo); wo(o, ao); wo(o, formula)
+        fn match {
+          case Some(fr) =>
+            o.writeBoolean(true); ws(o, fr.name); ws(o, fr.id); ws(o, fr.filePath)
+          case None => o.writeBoolean(false)
+        }
+        fact match {
+          case Some(fr) =>
+            o.writeBoolean(true); ws(o, fr.name); ws(o, fr.id); ws(o, fr.filePath)
+            wlts(o, fr.logicTables)
+          case None => o.writeBoolean(false)
+        }
+      case FactFrag(dso, pos, tables) =>
+        o.writeByte(9); o.writeInt(dso); wis(o, pos); wlts(o, tables)
+      case other =>
+        throw new IllegalArgumentException(
+          s"Frag payload type not in the wire codec: ${other.getClass.getName}")
+    }
+
+    private def decode(i: DataInputStream): AnyRef = i.readByte() match {
+      case 1 => DsReq(rs(i), i.readInt(), rs(i), rs(i), rs(i), rs(i), rs(i))
+      case 2 => AttrReq(rs(i), i.readInt(), i.readInt(), rs(i), rs(i), rs(i),
+        rs(i), rs(i))
+      case 3 => MetricReq(rs(i), i.readInt(), ris(i), rs(i), rs(i), rs(i),
+        rs(i), ro(i), rss(i))
+      case 4 => FactReq(rs(i), i.readInt(), ris(i), rs(i), rs(i))
+      case 5 =>
+        val nm = rs(i); val fp = rs(i)
+        val owner =
+          if (i.readBoolean()) Some(Owner(rs(i), rs(i), rs(i), ro(i), ro(i)))
+          else None
+        val acl = List.fill(i.readInt())(
+          AccessControlEntry(rs(i), rs(i), ro(i), ro(i), ro(i)))
+        SkelFrag(nm, fp, owner, acl)
+      case 6 => DsFrag(i.readInt(), rs(i), rs(i), rs(i), ro(i), ro(i))
+      case 7 =>
+        val dso = i.readInt(); val ord = i.readInt()
+        val nm = rs(i); val nds = rs(i); val id = rs(i); val fp = rs(i)
+        val dsId = rs(i); val as = ro(i)
+        val fms = List.fill(i.readInt())(Formulario(rs(i), rs(i), rlts(i)))
+        AttrFrag(dso, ord, Atributo(nm, nds, id, fp, dsId, as, fms))
+      case 8 =>
+        val dso = i.readInt(); val pos = ris(i); val nm = rs(i); val id = rs(i)
+        val fp = rs(i); val tipo = rs(i); val ao = ro(i); val formula = ro(i)
+        val fn = if (i.readBoolean()) Some(FunctionRef(rs(i), rs(i), rs(i))) else None
+        val fact = if (i.readBoolean()) Some(FactRef(rs(i), rs(i), rs(i), rlts(i)))
+                   else None
+        MetricNodeFrag(dso, pos, nm, id, fp, tipo, ao, formula, fn, fact)
+      case 9 => FactFrag(i.readInt(), ris(i), rlts(i))
+      case t => throw new IllegalStateException(s"unknown Frag payload tag $t")
+    }
 
     def of(reportId: String, payload: Serializable): Frag =
       tagged(reportId, KFrag, payload)
     def req(kind: Int, file: String, payload: Serializable): Frag =
       tagged(file, kind, payload)
     private def tagged(key: String, kind: Int, payload: Serializable): Frag = {
-      val bb = ser.get().serialize[AnyRef](payload.asInstanceOf[AnyRef])
-      val out = new Array[Byte](bb.remaining())
-      bb.get(out)
-      Frag(key, kind, out)
+      val bos = new ByteArrayOutputStream(64)
+      val o = new DataOutputStream(bos)
+      encode(o, payload.asInstanceOf[AnyRef])
+      o.flush()
+      Frag(key, kind, bos.toByteArray)
     }
     def read(f: Frag): AnyRef =
-      ser.get().deserialize[AnyRef](java.nio.ByteBuffer.wrap(f.blob))
+      decode(new DataInputStream(new ByteArrayInputStream(f.blob)))
   }
 
   /** Executor-side index handle: ships the raw index HTML and parses
