@@ -51,14 +51,17 @@ object ExtractOps {
   }
 
   /** documents(dir) as a pages table: (url, warc_ts, html, text, lang).
-    * The scan is spread to session parallelism BEFORE page synthesis
-    * ([[graft.ops.Par.spread]]): the wrap + extract work is row-heavy
-    * and would otherwise run on the scan's split count — one task for a
-    * single-file corpus (no-op at production split counts).
+    * NO Par.spread before page synthesis (r6 pass-4 A/B, two sessions:
+    * roundtrip 0.223/0.152 s unspread vs 0.267/0.176 s spread,
+    * roundtripExpr 0.130/0.098/0.072 vs 0.209/0.179/0.153,
+    * corpusStats 0.173/0.155 vs 0.190/0.189 at sf0.1/32c): the wrap +
+    * extract cost per row no longer outweighs the spread exchange —
+    * the pass-1 reading reversed on calm re-measurement, matching the
+    * q1_agg-class removals. At production split counts the spread was
+    * a probe-gated no-op anyway, so removal is scale-neutral.
     */
   def documentsAsPages(spark: SparkSession, dir: String): Dataset[PageRow] =
-    documentsAsPagesOf(graft.ops.Par.spread(
-      Tables.read(spark, dir, "documents"), dir))
+    documentsAsPagesOf(Tables.read(spark, dir, "documents"))
 
   /** [[documentsAsPages]] over a caller-supplied documents slice — the
     * incremental hook: a resume synthesizes pages ONLY for pending
@@ -154,7 +157,9 @@ object ExtractOps {
     */
   def spansRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.ops.Par.spread(Tables.read(spark, dir, "documents"), dir)
+    // NO Par.spread (r6 pass-4 A/B, two sessions: 0.126/0.094 s unspread
+    // vs 0.180/0.168 s spread at sf0.1/32c) — see documentsAsPages
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)]
       .map { case (id, text, source) =>

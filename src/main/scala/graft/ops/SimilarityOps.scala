@@ -78,6 +78,40 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** One materialization of the exact brute-force top-k per
+    * (application, corpus, k, nQueries): BOTH recall gauges
+    * (`q_ann_recall`, `q_srp_recall`) evaluate their approximate leg
+    * against the SAME exact reference — uncached, each gauge re-derived
+    * the O(nQueries × corpus) cross-join + window independently (guide
+    * §1.2: don't compute the same thing twice; at production scale the
+    * exact reference for recall gauging is computed once and every
+    * index variant is scored against it). Identical contract to
+    * [[bandedSrpPairsShared]] / [[graft.ops.DedupOps.minhashLshPairsShared]]:
+    * keyed by the embeddings table's file-status identity so a
+    * regenerated corpus recomputes instead of serving stale rows,
+    * superseded entries unpersisted, dead-context entries dropped on
+    * the way in. Purely physical — the row set is identical to an
+    * uncached [[bruteForceTopK]] call (SimilaritySpec pins it).
+    */
+  def bruteForceTopKShared(spark: SparkSession, dir: String, k: Int = 5,
+                           nQueries: Int = 10): DataFrame = {
+    sharedExactCache.entrySet().removeIf(
+      e => e.getValue._2.sparkSession.sparkContext.isStopped)
+    val key = s"${spark.sparkContext.applicationId}:$dir:$k:$nQueries"
+    val tag = RelationalOps.layoutTag(spark, dir, "embeddings")
+    sharedExactCache.compute(key, (_, prev) => {
+      if (prev != null && prev._1 == tag) prev
+      else {
+        if (prev != null) prev._2.unpersist(blocking = false)
+        (tag, bruteForceTopK(spark, dir, k, nQueries)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+    })._2
+  }
+
+  private val sharedExactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+
   /** Planes per SRP band as a function of corpus size: the smallest p
     * with 2^p >= n / targetOccupancy (floor 4). Bucket count then grows
     * WITH the corpus, so expected bucket occupancy stays bounded and
@@ -293,7 +327,7 @@ object SimilarityOps {
   def annRecall(spark: SparkSession, dir: String, k: Int = 5,
                 nQueries: Int = 10, nCentroids: Int = 16,
                 nProbe: Int = 2): DataFrame = {
-    val exact = bruteForceTopK(spark, dir, k, nQueries)
+    val exact = bruteForceTopKShared(spark, dir, k, nQueries)
       .select(col("query_id"), col("neighbor_id"))
     val approx = ivfTopK(spark, dir, k, nQueries, nCentroids, nProbe)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
@@ -334,7 +368,7 @@ object SimilarityOps {
     */
   def srpRecall(spark: SparkSession, dir: String, k: Int = 5,
                 nQueries: Int = 10, minCos: Double = 0.2): DataFrame = {
-    val exact = bruteForceTopK(spark, dir, k, nQueries)
+    val exact = bruteForceTopKShared(spark, dir, k, nQueries)
       .filter(col("cos") >= minCos)
       .select(col("query_id"), col("neighbor_id"))
     val pairs = bandedSrpPairsShared(spark, dir)

@@ -201,7 +201,13 @@ object TextAnalysisOps {
     */
   def dsirScore(spark: SparkSession, dir: String): DataFrame = {
     val nBuckets = 256
-    val perDoc = Par.spread(docs(spark, dir), dir)
+    // NO Par.spread (r6 pass-4 A/B, two sessions: 0.466/0.398 s unspread
+    // vs 0.576/0.439 s spread at sf0.1/32c, and the spread run was far
+    // noisier rep-to-rep): the explode feeds a map-side partial
+    // aggregation whose exchange both LM legs reuse — the same mechanism
+    // that reversed the q1_agg-class spreads (guide §2.3); pass 1 had
+    // scored it a wash and kept it, the calm re-measure says remove
+    val perDoc = docs(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), col("lang"),
@@ -265,11 +271,13 @@ object TextAnalysisOps {
     val k1 = 1.2
     val b = 0.75
     val queries = broadcast(Bm25Queries.toDF("query_id", "term"))
-    // spread before tokenization: d feeds BOTH the stats leg and the
-    // postings leg — the identical repartition subtree reuses one
-    // exchange (ReusedExchange), so the corpus is split exactly once
-    // and both legs read it parallel (single-split scan otherwise)
-    val d = Par.spread(docs(spark, dir), dir).select(col("doc_id"),
+    // NO Par.spread (r6 pass-4 A/B, two sessions: 0.597/0.439 s unspread
+    // vs 0.687/0.513 s spread at sf0.1/32c — the pass-1 reading that the
+    // spread paid here did not survive re-measurement): the pre-explode
+    // term filter leaves ~hits rows, so the per-row work after the scan
+    // is light and the tf aggregation collapses map-side — the shared
+    // spread exchange delayed both legs more than the parallelism bought
+    val d = docs(spark, dir).select(col("doc_id"),
       split(col("text"), " ").as("toks"))
     val lens = d.select(col("doc_id"), size(col("toks")).as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),

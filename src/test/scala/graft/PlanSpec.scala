@@ -204,4 +204,16 @@ class PlanSpec extends AnyFunSuite {
     assert(firstHashAgg >= 0 && exchange >= 0)
     assert(p.indexOf("partial_sum") >= 0, "map-side partial aggregation expected")
   }
+
+  test("shared brute-force top-k == a fresh uncached computation, row for row") {
+    // the recall gauges' shared exact reference (bruteForceTopKShared)
+    // must be purely physical: same rows as deriving the leg from
+    // scratch, and stable across repeated reads of the shared handle
+    def key(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val fresh = key(graft.ops.SimilarityOps.bruteForceTopK(spark, dir))
+    val shared1 = key(graft.ops.SimilarityOps.bruteForceTopKShared(spark, dir))
+    val shared2 = key(graft.ops.SimilarityOps.bruteForceTopKShared(spark, dir))
+    assert(fresh.nonEmpty && fresh == shared1 && shared1 == shared2)
+  }
 }
