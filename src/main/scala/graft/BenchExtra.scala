@@ -70,6 +70,21 @@ object BenchExtra {
       }
       assigned(cents).select(F.col("vec_id"), F.col("cent_id"), F.col("ccos"))
     }),
+    // q_kmeans executed eagerly under scoped AQE-off (the CC-loop
+    // pattern: fixed-iteration ML loop, per-round tables are
+    // k-centroid-scale, shuffle width already the session's) — the
+    // localCheckpoint materializes inside the timed region; the
+    // returned DF counts cached blocks
+    "x_kmeans_noaqe_ckpt" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try graft.ops.SimilarityOps.kmeansAssign(s, d).localCheckpoint()
+      finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    }),
+    // control: the same eager localCheckpoint with AQE left on —
+    // isolates the AQE-stage-job share from the checkpoint share
+    "x_kmeans_ckpt" -> ((s, d) =>
+      graft.ops.SimilarityOps.kmeansAssign(s, d).localCheckpoint()),
     // q_decontaminate without either spread
     "x_decontam_nospread" -> ((s, d) => {
       val k = 5

@@ -47,10 +47,15 @@ object MultimodalOps {
     */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    // spread BEFORE the codec maps (Par.spread, guide §2.5): encode +
-    // decode are the per-row cost and a single-file corpus scans as one
-    // split — one task doing all the codec work (no-op at scale)
-    Par.spread(Tables.read(spark, dir, "documents"), dir)
+    // NO Par.spread (r6 pass-4 A/B, three sessions): the mixed-modality
+    // rows average ~1/3 of the all-PNG per-row cost, and the spread
+    // exchange now outweighs the parallelism for every consumer but
+    // q_media_frames (decode 0.335/0.289 s unspread vs 0.436/0.357
+    // spread; audio/video a wash; frames alone read ~0.04 s better
+    // spread — net across the four consumers favors removal).
+    // [[imagesFromDocuments]] keeps its spread: all-PNG rows still pay
+    // ~3x the exchange cost in single-split codec work (A/B +0.4 s).
+    Tables.read(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // in-memory PNG encode
