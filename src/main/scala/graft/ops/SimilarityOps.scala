@@ -91,7 +91,7 @@ object SimilarityOps {
     * regenerated corpus recomputes instead of serving stale rows,
     * superseded entries unpersisted, dead-context entries dropped on
     * the way in. Purely physical — the row set is identical to an
-    * uncached [[bruteForceTopK]] call (SimilaritySpec pins it).
+    * uncached [[bruteForceTopK]] call (PlanSpec pins it).
     */
   def bruteForceTopKShared(spark: SparkSession, dir: String, k: Int = 5,
                            nQueries: Int = 10): DataFrame = {
